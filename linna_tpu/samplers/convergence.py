@@ -1,0 +1,86 @@
+"""Chain convergence diagnostics.
+
+Host-side NumPy implementations (the chain chunks live on host for HDF5
+persistence anyway, and these run once per ~100 device steps):
+
+- integrated autocorrelation time via the FFT method with Sokal's automated
+  windowing (the "dfm" estimator both emcee's ``get_autocorr_time`` and the
+  reference's zeus configuration use — reference linna/sampler.py:538,
+  linna/sampler.py:729 ``method='dfm'``);
+- the split-half mean/std stationarity test
+  (reference linna/sampler.py:370-387 ``checkmeanstd``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["autocorr_function_1d", "integrated_time", "check_mean_std"]
+
+
+def _next_pow_two(n: int) -> int:
+    i = 1
+    while i < n:
+        i <<= 1
+    return i
+
+
+def autocorr_function_1d(x: np.ndarray) -> np.ndarray:
+    """Normalized autocorrelation of a 1-D series via FFT."""
+    x = np.atleast_1d(np.asarray(x, dtype=np.float64))
+    n = _next_pow_two(len(x))
+    f = np.fft.fft(x - np.mean(x), n=2 * n)
+    acf = np.fft.ifft(f * np.conjugate(f))[: len(x)].real
+    if acf[0] == 0:
+        return np.ones_like(acf)
+    return acf / acf[0]
+
+
+def _auto_window(taus: np.ndarray, c: float) -> int:
+    """Sokal (1989) automated windowing: smallest M with M >= c * tau(M)."""
+    m = np.arange(len(taus)) < c * taus
+    if np.any(m):
+        return int(np.argmin(m))
+    return len(taus) - 1
+
+
+def integrated_time(chain: np.ndarray, c: float = 5.0) -> np.ndarray:
+    """Per-parameter integrated autocorrelation time tau[D].
+
+    ``chain`` has shape (nsteps, nwalkers, ndim); the autocorrelation is
+    averaged over walkers before integration (dfm estimator). No reliability
+    gate — equivalent to emcee's ``get_autocorr_time(tol=0)`` as the
+    reference uses it (linna/sampler.py:538).
+    """
+    chain = np.asarray(chain, dtype=np.float64)
+    if chain.ndim != 3:
+        raise ValueError("chain must be (nsteps, nwalkers, ndim)")
+    nsteps, nwalkers, ndim = chain.shape
+    taus = np.empty(ndim)
+    for d in range(ndim):
+        f = np.zeros(nsteps)
+        for w in range(nwalkers):
+            f += autocorr_function_1d(chain[:, w, d])
+        f /= nwalkers
+        cum = 2.0 * np.cumsum(f) - 1.0
+        window = _auto_window(cum, c)
+        taus[d] = cum[window]
+    return taus
+
+
+def check_mean_std(samples: np.ndarray, meanshift: float, stdshift: float) -> bool:
+    """Split-half stationarity test (reference linna/sampler.py:370-387):
+    median over parameters of |mean1 - mean2|/std2 must be below ``meanshift``
+    and median of (std1 - std2)/std2 below ``stdshift``."""
+    samples = np.asarray(samples, dtype=np.float64)
+    half = len(samples) // 2
+    first = samples[:half].reshape(-1, samples.shape[-1])
+    second = samples[half:].reshape(-1, samples.shape[-1])
+    if len(first) == 0 or len(second) == 0:
+        return False
+    std2 = np.std(second, axis=0)
+    mean_shift = np.median(
+        np.abs(np.mean(first, axis=0) - np.mean(second, axis=0)) / std2
+    )
+    std_shift = np.median((np.std(first, axis=0) - std2) / std2)
+    return bool((mean_shift < meanshift) & (std_shift < stdshift))

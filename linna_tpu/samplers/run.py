@@ -1,0 +1,178 @@
+"""Convergence-gated incremental ensemble sampling.
+
+The device advances the ensemble in fixed-size jit-compiled chunks
+(``check_every`` steps — the reference's check cadence,
+linna/sampler.py:530-538, 682); between chunks the host appends to HDF5 and
+evaluates the reference's three-part convergence test:
+
+  1. chain length exceeds ``ntimes`` autocorrelation times (per-param for the
+     stretch path as in emcee, mean-tau for the slice path as in zeus);
+  2. relative change of tau since the previous check below ``tautol``;
+  3. split-half mean/std stationarity over the trailing ``nk * tau`` steps.
+
+Fresh stretch runs reproduce the reference's burn-in: 100 throwaway steps,
+keep the top ``50*nwalkers`` samples by log-prob, restart the ensemble from a
+random draw of those (linna/sampler.py:519-529).  Runs resume from the HDF5
+last sample when the file already exists (linna/sampler.py:475-487,713-725).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import backends, convergence, slicemove, stretch
+
+__all__ = ["run_ensemble", "EMCEE_FILENAME", "ZEUS_FILENAME"]
+
+EMCEE_FILENAME = "chemcee_256.h5"
+ZEUS_FILENAME = "zeus_256.h5"
+
+
+def _np_transform(transform):
+    if transform is None:
+        return None
+
+    def apply(chain: np.ndarray) -> np.ndarray:
+        flat = chain.reshape(-1, chain.shape[-1])
+        out = np.asarray(transform(flat))
+        return out.reshape(chain.shape[:-1] + (out.shape[-1],))
+
+    return apply
+
+
+def run_ensemble(
+    log_prob_fn: Callable[[jax.Array], jax.Array],
+    x0: np.ndarray,
+    outdir: str,
+    method: str = "zeus",
+    transform: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    ntimes: float = 10,
+    tautol: float = 0.01,
+    meanshift: float = 0.1,
+    stdshift: float = 0.1,
+    nk: float = 2,
+    check_every: int = 100,
+    max_iterations: int = 100_000,
+    seed: int = 0,
+    a: float = 2.0,
+    slice_max_steps: int = 100,
+    tune_chunks: int = 10,
+    progress: bool = False,
+):
+    """Sample until converged; returns the backend holding the chain.
+
+    ``method``: "emcee" (affine-invariant stretch, file ``chemcee_256.h5``)
+    or "zeus" (ensemble slice, file ``zeus_256.h5``) — names kept for
+    API parity with the reference (linna/util.py:1474-1504).
+    """
+    os.makedirs(outdir, exist_ok=True)
+    x0 = np.asarray(x0, dtype=np.float32)
+    nwalkers, ndim = x0.shape
+    key = jax.random.key(seed)
+    tfn = _np_transform(transform)
+
+    if method == "emcee":
+        backend = backends.EmceeBackend(os.path.join(outdir, EMCEE_FILENAME))
+    elif method == "zeus":
+        backend = backends.ZeusBackend(os.path.join(outdir, ZEUS_FILENAME))
+    else:
+        raise NotImplementedError(method)
+
+    resume = backend.initialized
+    chain_parts = []
+    lp_parts = []
+    iteration = 0
+    if resume:
+        x0 = np.asarray(backend.get_last_sample(), dtype=np.float32)
+        prev_chain = backend.get_chain()
+        prev_lp = backend.get_log_prob()
+        chain_parts.append(np.asarray(prev_chain))
+        lp_parts.append(np.asarray(prev_lp))
+        iteration = len(prev_chain)
+    elif method == "emcee":
+        backend.reset(nwalkers, ndim)
+        # burn-in with restart from the high-probability set
+        key, bkey, rkey = jax.random.split(key, 3)
+        bstate = stretch.init_state(bkey, jnp.asarray(x0), log_prob_fn)
+        bstate, bchain, blps = stretch.stretch_chunk(log_prob_fn, bstate, 100, a)
+        flat = np.asarray(bchain).reshape(-1, ndim)
+        flat_lp = np.asarray(blps).reshape(-1)
+        top = flat[np.argsort(flat_lp)[::-1][: int(50 * nwalkers)]]
+        pick = jax.random.randint(rkey, (nwalkers,), 0, len(top))
+        x0 = top[np.asarray(pick)]
+
+    key, skey = jax.random.split(key)
+    if method == "emcee":
+        state = stretch.init_state(skey, jnp.asarray(x0), log_prob_fn)
+    else:
+        state = slicemove.init_slice_state(skey, jnp.asarray(x0), log_prob_fn)
+
+    old_tau = np.inf
+    prev_accepted = np.zeros(nwalkers)
+    n_chunks_done = 0
+    while iteration < max_iterations:
+        if method == "emcee":
+            state, chain, lps = stretch.stretch_chunk(
+                log_prob_fn, state, check_every, a
+            )
+            acc = np.asarray(state.accepted, dtype=np.float64)
+            backend.append(
+                np.asarray(chain, np.float64),
+                np.asarray(lps, np.float64),
+                acc - prev_accepted,
+                transform=tfn,
+            )
+            prev_accepted = acc
+        else:
+            state, chain, lps = slicemove.slice_chunk(
+                log_prob_fn, state, check_every, slice_max_steps
+            )
+            if n_chunks_done < tune_chunks:
+                state = slicemove.tune_mu(state)
+            backend.append(
+                np.asarray(chain, np.float64), np.asarray(lps, np.float64), transform=tfn
+            )
+        chain_parts.append(np.asarray(chain))
+        lp_parts.append(np.asarray(lps))
+        iteration += check_every
+        n_chunks_done += 1
+
+        full_chain = np.concatenate(chain_parts)
+        if method == "emcee":
+            tau = convergence.integrated_time(full_chain)
+            if np.isnan(np.sum(tau)) and iteration > 10:
+                break
+            converged = bool(np.all(tau * ntimes < iteration))
+            converged &= bool(np.all(np.abs(old_tau - tau) / tau < tautol))
+            window = max(int(nk * np.mean(tau)), 2)
+            converged &= convergence.check_mean_std(
+                full_chain[-window:], meanshift, stdshift
+            )
+        else:
+            # zeus path: scalar mean tau over the chain minus 20% burn-in
+            # (linna/sampler.py:682-691, discard=0.2)
+            tau_arr = convergence.integrated_time(
+                full_chain[int(0.2 * iteration) :]
+            )
+            tau = float(np.mean(tau_arr))
+            converged = tau * ntimes < iteration
+            converged &= bool(np.abs(old_tau - tau) / tau < tautol)
+            window = max(int(nk * tau), 2)
+            converged &= convergence.check_mean_std(
+                full_chain[-window:], meanshift, stdshift
+            )
+        if progress:
+            print(
+                f"iter {iteration}: tau={np.mean(tau):.2f} converged={converged}",
+                flush=True,
+            )
+        if converged:
+            break
+        old_tau = tau
+
+    return backend

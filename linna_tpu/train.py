@@ -1,0 +1,416 @@
+"""Emulator trainer: jit-compiled epoch loop + host-side training supervisor.
+
+Design: the compute-heavy path (shuffle -> minibatch AdamW steps -> full-batch
+validation) is ONE jitted function per epoch, with the minibatch loop as a
+``lax.scan`` so the whole epoch is a single device program (reference does a
+Python DataLoader loop per batch: linna/predictor_gpu.py:268-312).  Around it
+runs a host supervisor that reproduces the reference's robustness machinery:
+
+- automatic LR range test picking the steepest-descent learning rate
+  (linna/predictor_gpu.py:222-246, torch_lr_finder semantics: exponential
+  sweep 1e-4 -> 5e-3 over 100 iters, smoothed loss, min-gradient pick,
+  lr/100 when >1, persisted to ``lr.npy``);
+- ``EarlyStopping`` with patience 500, median-filtered metric queues,
+  cooling counters and an overfit detector that grows weight decay
+  (linna/predictor_gpu.py:19-151);
+- flat-validation "bad training" detector in the first 120 epochs that
+  reinitializes weights (linna/predictor_gpu.py:319-335);
+- NaN/spike detector that reloads the best checkpoint, resets the optimizer
+  and halves the learning rate (linna/predictor_gpu.py:339-373);
+- per-epoch ``last``/``best`` checkpoints with resume-from-best
+  (linna/predictor_gpu.py:405-419, linna/nnutils.py:109-151).
+
+Learning rate and weight decay are runtime-dynamic via
+``optax.inject_hyperparams`` so supervisor interventions never trigger a
+recompile.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from . import losses as L
+from . import nn as N
+from .transforms import TransformSet
+from .utils import checkpoint as ckpt
+
+__all__ = ["EarlyStopping", "Trainer", "lr_range_test"]
+
+LAST_CKPT = "last.ckpt.npz"
+BEST_CKPT = "best.ckpt.npz"
+MIN_LR = 2e-6
+
+
+class EarlyStopping:
+    """Patience/cooling early-stopping state machine
+    (reference linna/predictor_gpu.py:19-151).
+
+    ``step`` returns an action code: 0 = continue, 1 = halve lr (+wd),
+    2 = stop, 3 = double weight decay (overfit detected).
+    """
+
+    def __init__(self, patience: int = 500, nqueue: int = 200, min_delta: float = 0.0):
+        self.patience = patience
+        self.nqueue = nqueue
+        self.min_delta = min_delta
+        self.best: Optional[float] = None
+        self.best_t: Optional[float] = None
+        self.num_bad_epochs = 0
+        self.cooling = 0
+        self.cooling_weight_decay = 0
+        self.queue_t: List[float] = []
+        self.queue_v: List[float] = []
+
+    def step(self, val_metric: float, train_metric: float) -> int:
+        self.queue_t.append(float(train_metric))
+        self.queue_v.append(float(val_metric))
+        if len(self.queue_t) > self.nqueue:
+            self.queue_t.pop(0)
+        if len(self.queue_v) > self.nqueue:
+            self.queue_v.pop(0)
+        if self.best is None:
+            self.best = val_metric
+            self.best_t = train_metric
+            self.num_bad_epochs = 0
+            return 0
+        if np.isnan(val_metric):
+            self.num_bad_epochs += 1
+            return 0
+        if val_metric < self.best - self.min_delta:
+            self.num_bad_epochs = 0
+            self.cooling = 0
+            self.cooling_weight_decay = 0
+            self.best = val_metric
+            self.best_t = train_metric
+            return self._check_stop()
+        self.num_bad_epochs += 1
+        if self.patience * 0.9 <= self.num_bad_epochs < self.patience:
+            # nearly out of patience: try one lr halving, then "cool" for up
+            # to 500 epochs before giving up (linna/predictor_gpu.py:101-113)
+            if self.cooling != 0:
+                if self.cooling > 500:
+                    self.cooling = 0
+                    self.num_bad_epochs += 5
+                    return self._check_stop()
+                self.num_bad_epochs -= 1
+                self.cooling += 1
+                return 0
+            self.cooling += 1
+            return 1
+        if len(self.queue_t) > max(2, 0.5 * self.nqueue):
+            # overfit: train loss falling while val loss rising over the two
+            # halves of the queues (linna/predictor_gpu.py:114-131)
+            half_t = len(self.queue_t) // 2
+            half_v = len(self.queue_v) // 2
+            t_trend = np.median(self.queue_t[half_t:]) - np.median(self.queue_t[:half_t])
+            v_trend = np.median(self.queue_v[half_v:]) - np.median(self.queue_v[:half_v])
+            if t_trend < 0 and v_trend > 0:
+                if self.cooling_weight_decay != 0:
+                    if self.cooling_weight_decay > 1000:
+                        self.cooling_weight_decay = 0
+                        return self._check_stop()
+                    self.queue_t = []
+                    self.queue_v = []
+                    self.cooling_weight_decay += 1
+                    if self.cooling_weight_decay % 50 == 0:
+                        return 3
+                    return self._check_stop()
+                self.cooling_weight_decay += 1
+                return 3
+        return self._check_stop()
+
+    def _check_stop(self) -> int:
+        return 2 if self.num_bad_epochs >= self.patience else 0
+
+
+def _make_optimizer() -> optax.GradientTransformation:
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=1e-4, weight_decay=1e-4
+    )
+
+
+def _set_hyper(opt_state, lr: float, wd: float):
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    opt_state.hyperparams["weight_decay"] = jnp.asarray(wd, jnp.float32)
+    return opt_state
+
+
+class Trainer:
+    """Owns model spec/params/optimizer/transforms (reference ``Predictor``,
+    linna/predictor_gpu.py:153-199) and runs the supervised training loop."""
+
+    def __init__(
+        self,
+        spec: N.ModelSpec,
+        transforms: TransformSet,
+        loss_state: L.LossState,
+        outdir: Optional[str] = None,
+        seed: int = 1234,
+        params=None,
+    ):
+        self.spec = spec
+        self.transforms = transforms
+        self.loss_state = loss_state
+        self.outdir = outdir
+        self.seed = seed
+        self.key = jax.random.key(seed)
+        if params is None:
+            self.key, init_key = jax.random.split(self.key)
+            params = N.init_model(init_key, spec)
+        self.params = params
+        self.optimizer = _make_optimizer()
+        self.opt_state = self.optimizer.init(self.params)
+        self.best_val_loss = float("inf")
+        self.lr = 1e-4
+        self.wd = 1e-4
+
+    # ---------------------------------------------------------------- jitted
+
+    def _loss(self, params, bx, by):
+        pred = N.apply_model(self.spec, params, self.transforms.x_transform(bx))
+        return L.loss_fn(self.loss_state, self.transforms, pred, by)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def _epoch(self, params, opt_state, key, train_x, train_y, val_x, val_y):
+        n = train_x.shape[0]
+        bs = self._batch_size
+        nb = max(n // bs, 1)
+        perm = jax.random.permutation(key, n)[: nb * bs].reshape(nb, bs)
+
+        def step(carry, idx):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(self._loss)(
+                params, train_x[idx], train_y[idx]
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), batch_losses = jax.lax.scan(step, (params, opt_state), perm)
+        val_pred = N.apply_model(self.spec, params, self.transforms.x_transform(val_x))
+        val_metric = L.val_metric_fn(self.loss_state, self.transforms, val_pred, val_y)
+        return params, opt_state, batch_losses, val_metric
+
+    @partial(jax.jit, static_argnums=0)
+    def _train_step(self, params, opt_state, bx, by):
+        loss, grads = jax.value_and_grad(self._loss)(params, bx, by)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    # ------------------------------------------------------------------ host
+
+    def _reinit_weights(self):
+        self.key, k = jax.random.split(self.key)
+        self.params = N.init_model(k, self.spec)
+
+    def _reset_optimizer(self):
+        self.opt_state = _set_hyper(
+            self.optimizer.init(self.params), self.lr, self.wd
+        )
+
+    def load_best(self) -> bool:
+        """Resume params from ``best.ckpt.npz`` if present
+        (linna/predictor_gpu.py:451-459)."""
+        if self.outdir is None:
+            return False
+        path = os.path.join(self.outdir, BEST_CKPT)
+        if not ckpt.checkpoint_exists(path):
+            return False
+        self.params, _, meta = ckpt.load_checkpoint(path, self.params)
+        self.best_val_loss = float(meta.get("best_val_loss", self.best_val_loss))
+        return True
+
+    def _save(self, epoch: int, is_best: bool):
+        if self.outdir is None:
+            return
+        meta = {"epoch": epoch, "best_val_loss": self.best_val_loss, "lr": self.lr}
+        ckpt.save_checkpoint(
+            os.path.join(self.outdir, LAST_CKPT), self.params, self.opt_state, meta
+        )
+        if is_best:
+            ckpt.save_checkpoint(
+                os.path.join(self.outdir, BEST_CKPT), self.params, self.opt_state, meta
+            )
+
+    def train(
+        self,
+        train_x: np.ndarray,
+        train_y: np.ndarray,
+        val_x: np.ndarray,
+        val_y: np.ndarray,
+        num_epochs: int,
+        batch_size: int,
+        initfrombest: bool = True,
+        auto_lr: bool = True,
+        lr_scale: float = 1.0,
+        verbose: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Run the full supervised loop; returns (train_losses, val_metrics)
+        with the reference's shapes (per-batch losses, per-epoch metrics)."""
+        train_x = jnp.asarray(train_x, jnp.float32)
+        train_y = jnp.asarray(train_y, jnp.float32)
+        val_x = jnp.asarray(val_x, jnp.float32)
+        val_y = jnp.asarray(val_y, jnp.float32)
+        self._batch_size = min(int(batch_size), int(train_x.shape[0]))
+
+        if auto_lr:
+            self.lr = lr_range_test(self, train_x, train_y, outdir=self.outdir)
+        self.lr *= lr_scale
+        if initfrombest:
+            self.load_best()
+        self._reset_optimizer()
+
+        es = EarlyStopping(patience=500)
+        train_losses: List[float] = []
+        val_metrics: List[np.ndarray] = []
+        old = 0.0
+        told = 0.0
+        for i in range(num_epochs):
+            self.key, ekey = jax.random.split(self.key)
+            self.params, self.opt_state, batch_losses, val_metric = self._epoch(
+                self.params, self.opt_state, ekey, train_x, train_y, val_x, val_y
+            )
+            batch_losses = np.asarray(batch_losses)
+            train_losses.extend(batch_losses.tolist())
+            loss = float(batch_losses[-1])
+            vm = np.asarray(val_metric, dtype=np.float64)
+            val_metrics.append(vm)
+            val0 = float(vm[0])
+
+            is_best = val0 < self.best_val_loss
+            if is_best:
+                self.best_val_loss = val0
+
+            # --- flat-start detector (linna/predictor_gpu.py:319-335)
+            if (
+                i >= 10
+                and i < 120
+                and i % 10 == 0
+                and np.std([m[0] for m in val_metrics[-10:]])
+                < 0.01 * np.mean([m[0] for m in val_metrics[-10:]])
+            ):
+                if verbose:
+                    print(f"bad training restart at epoch {i}", flush=True)
+                self._reinit_weights()
+                if i > 10 and self.lr > 2e-4:
+                    self.lr = max(self.lr / 2.0, MIN_LR)
+                self._reset_optimizer()
+            # --- NaN / loss-spike recovery (linna/predictor_gpu.py:339-373)
+            elif (
+                np.isnan(val0)
+                or val0 > 1e10
+                or (i != 0 and val0 - old > 5 * old)
+                or (i != 0 and loss - told > 5 * told)
+            ):
+                if not self.load_best():
+                    self._reinit_weights()
+                if (np.isnan(val0) or val0 > 1e10 or val0 - old > 10 * old) and i > 10:
+                    if self.lr > MIN_LR:
+                        self.lr = self.lr / 2.0
+                self._reset_optimizer()
+                if not np.isnan(val0) and val0 - old > 5 * old:
+                    vm[0] = old
+                    val0 = old
+            else:
+                action = es.step(val0, loss)
+                if action == 1:
+                    if self.lr > MIN_LR:
+                        self.lr /= 2.0
+                        self.wd /= 2.0
+                        self.opt_state = _set_hyper(self.opt_state, self.lr, self.wd)
+                    else:
+                        es.cooling = 0
+                elif action == 2:
+                    if verbose:
+                        print(f"early stop at epoch {i} (lr={self.lr:g})", flush=True)
+                    self._save(i, is_best)
+                    break
+                elif action == 3:
+                    if self.wd < 1.0:
+                        self.wd *= 2.0
+                        self.opt_state = _set_hyper(self.opt_state, self.lr, self.wd)
+
+            old = val0
+            told = loss
+            self._save(i, is_best)
+
+        return np.array(train_losses), np.array(val_metrics)
+
+    # ------------------------------------------------------------- inference
+
+    def predict(self, x: jax.Array) -> jax.Array:
+        """x (physical params) -> emulated data vector in sigma-scaled space
+        (reference linna/predictor_gpu.py:461-504: X_transform -> model ->
+        y_transform)."""
+        one = x.ndim == 1
+        if one:
+            x = x[None, :]
+        pred = N.apply_model(self.spec, self.params, self.transforms.x_transform(x))
+        out = self.transforms.y_transform(pred)
+        return out[0] if one else out
+
+
+def lr_range_test(
+    trainer: Trainer,
+    train_x: jax.Array,
+    train_y: jax.Array,
+    start_lr: float = 1e-4,
+    end_lr: float = 5e-3,
+    num_iter: int = 100,
+    smooth_f: float = 0.05,
+    diverge_th: float = 5.0,
+    outdir: Optional[str] = None,
+) -> float:
+    """Exponential LR sweep; pick the lr at the steepest smoothed-loss descent
+    (reference linna/predictor_gpu.py:222-246 wrapping torch_lr_finder with
+    end_lr=5e-3, num_iter=100; lr/100 if the pick exceeds 1; persisted to
+    ``lr.npy`` for resume)."""
+    if outdir is not None:
+        lr_path = os.path.join(outdir, "lr.npy")
+        if os.path.isfile(lr_path):
+            return float(np.load(lr_path))
+
+    lrs = np.geomspace(start_lr, end_lr, num_iter)
+    params = trainer.params
+    opt_state = trainer.optimizer.init(params)
+    bs = trainer._batch_size
+    n = int(train_x.shape[0])
+    nb = max(n // bs, 1)
+    rng = np.random.default_rng(1234)
+    order = rng.permutation(n)
+
+    losses: List[float] = []
+    best_loss = np.inf
+    for it in range(num_iter):
+        opt_state = _set_hyper(opt_state, float(lrs[it]), 1e-4)
+        b = it % nb
+        idx = jnp.asarray(order[b * bs : (b + 1) * bs])
+        params, opt_state, loss = trainer._train_step(
+            params, opt_state, train_x[idx], train_y[idx]
+        )
+        loss = float(loss)
+        if it > 0:
+            loss = smooth_f * loss + (1 - smooth_f) * losses[-1]
+        if loss < best_loss:
+            best_loss = loss
+        losses.append(loss)
+        if loss > diverge_th * best_loss:
+            lrs = lrs[: len(losses)]
+            break
+
+    grad = np.gradient(np.array(losses))
+    lr = float(lrs[int(grad.argmin())])
+    if lr > 1.0:
+        lr = lr / 100.0
+    if outdir is not None:
+        os.makedirs(outdir, exist_ok=True)
+        np.save(os.path.join(outdir, "lr.npy"), lr)
+    return lr

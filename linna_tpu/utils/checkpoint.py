@@ -1,0 +1,102 @@
+"""Pickle-free pytree checkpointing.
+
+The reference persists ``last.pth.tar``/``best.pth.tar`` torch checkpoints
+every epoch and resumes from best (linna/nnutils.py:109-151,
+linna/predictor_gpu.py:405-419,451-459).  Here a checkpoint is a flat ``.npz``
+of pytree leaves keyed by their tree paths plus a small JSON sidecar of scalar
+metadata — loadable into any pytree with the same structure, safe against
+arbitrary-code-execution on load, and writable atomically (tmp + rename) so a
+crash mid-write never corrupts the resume artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+__all__ = ["save_checkpoint", "load_checkpoint", "checkpoint_exists"]
+
+
+def _path_key(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def _flatten(tree: Any) -> Dict[str, np.ndarray]:
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {_path_key(path): np.asarray(leaf) for path, leaf in leaves}
+
+
+def _unflatten_like(tree: Any, arrays: Dict[str, np.ndarray], prefix: str) -> Any:
+    leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    new_leaves = []
+    for path, old_leaf in leaves_with_paths:
+        key = prefix + _path_key(path)
+        if key not in arrays:
+            raise KeyError(f"checkpoint missing leaf {key!r}")
+        arr = arrays[key]
+        if tuple(arr.shape) != tuple(np.shape(old_leaf)):
+            raise ValueError(
+                f"checkpoint leaf {key!r} shape {arr.shape} != expected "
+                f"{np.shape(old_leaf)}"
+            )
+        new_leaves.append(jax.numpy.asarray(arr, dtype=np.asarray(old_leaf).dtype))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def save_checkpoint(
+    path: str,
+    params: Any,
+    opt_state: Any = None,
+    meta: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Write ``{params, opt_state}`` pytrees and JSON-able ``meta`` atomically."""
+    arrays = {f"params/{k}": v for k, v in _flatten(params).items()}
+    if opt_state is not None:
+        arrays.update({f"opt/{k}": v for k, v in _flatten(opt_state).items()})
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta or {}).encode(), dtype=np.uint8
+    )
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_checkpoint(
+    path: str, params_like: Any, opt_state_like: Any = None
+) -> Tuple[Any, Any, Dict[str, Any]]:
+    """Load a checkpoint into pytrees shaped like the given templates.
+
+    Returns (params, opt_state_or_None, meta).
+    """
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files}
+    meta = json.loads(bytes(arrays.pop("__meta__")).decode()) if "__meta__" in arrays else {}
+    params = _unflatten_like(params_like, arrays, "params/")
+    opt_state = None
+    if opt_state_like is not None and any(k.startswith("opt/") for k in arrays):
+        opt_state = _unflatten_like(opt_state_like, arrays, "opt/")
+    return params, opt_state, meta
+
+
+def checkpoint_exists(path: str) -> bool:
+    return os.path.isfile(path)

