@@ -1,0 +1,92 @@
+"""Batched emulator likelihood — the sampling hot path.
+
+Reference semantics (linna/util.py:953-1051 ``Log_prob``/``Dlnp``/``Ddlnp``):
+whitened params -> physical transform -> emulator -> data-space prediction ->
+Gaussian (or custom) log-likelihood tempered by 1/T, plus the whitened-space
+unit-normal log-prior and optional external likelihood terms; NaN -> -inf.
+
+The reference evaluates this one walker at a time through an MPI pool
+(linna/util.py:990, SURVEY §3.2) — the design's central inefficiency.  Here
+``make_log_prob`` builds ONE batch-native pure function (W, D) -> (W,): the
+whole ensemble's emulator forward is a single stack of MXU matmuls inside the
+sampler's jitted chunk, and gradients/Hessians for HMC/NUTS come from
+``jax.grad``/``jax.hessian`` straight through it (replacing the reference's
+per-row torch autograd loops, linna/util.py:1023-1051).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import nn as N
+from . import priors as P
+from .transforms import TransformSet
+
+__all__ = ["gaussian_loglike", "make_log_prob", "make_grad_log_prob", "make_hessian_log_prob"]
+
+
+def gaussian_loglike(m: jax.Array, data: jax.Array, inv_cov: jax.Array) -> jax.Array:
+    """-0.5 (m-d)^T C^-1 (m-d), batched over leading axes
+    (reference linna/util.py:953-955)."""
+    d = m - data
+    return -0.5 * jnp.einsum("...i,ij,...j->...", d, inv_cov, d)
+
+
+def make_log_prob(
+    spec: N.ModelSpec,
+    params,
+    transforms: TransformSet,
+    prior_pack: P.PriorPack,
+    data: np.ndarray,
+    inv_cov: np.ndarray,
+    temperature: float = 1.0,
+    loglike_fn: Optional[Callable] = None,
+    external_loglike: Optional[Callable] = None,
+    linearmodel: Optional[Callable] = None,
+) -> Callable[[jax.Array], jax.Array]:
+    """Build the batched whitened-space log-posterior.
+
+    ``loglike_fn(m, data, inv_cov)`` may override the Gaussian likelihood
+    (reference ``loglikelihoodfunc``); ``external_loglike(x_physical)`` adds
+    extra JAX-traceable terms (reference ``externalloglike``,
+    linna/util.py:1004-1008) evaluated in physical space.
+    """
+    data_j = jnp.asarray(data, jnp.float32)
+    inv_cov_j = jnp.asarray(inv_cov, jnp.float32)
+    like = loglike_fn if loglike_fn is not None else gaussian_loglike
+    temperature = float(temperature)
+
+    def log_prob(x: jax.Array) -> jax.Array:
+        x = jnp.asarray(x, jnp.float32)
+        x_phys = P.transform(prior_pack, x)
+        pred_std = N.apply_model(
+            spec, params, transforms.x_transform(x_phys), linearmodel=linearmodel
+        )
+        # standardized -> sigma-scaled -> raw data space
+        # (Predictor.predict's y_transform then Log_prob's y_invtransform_data,
+        #  linna/predictor_gpu.py:500 + linna/util.py:1012)
+        m = transforms.y_data.inverse(transforms.y_transform(pred_std))
+        lp = like(m, data_j, inv_cov_j) / temperature + P.lnprior(x)
+        if external_loglike is not None:
+            lp = lp + external_loglike(x_phys)
+        return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+
+    return log_prob
+
+
+def make_grad_log_prob(log_prob: Callable) -> Callable:
+    """Batched gradient (W, D) -> (W, D) (reference ``Dlnp``,
+    linna/util.py:1023-1035, one torch.autograd call per walker)."""
+    single = lambda x: jnp.squeeze(log_prob(x[None, :]))
+    return jax.vmap(jax.grad(single))
+
+
+def make_hessian_log_prob(log_prob: Callable) -> Callable:
+    """Batched Hessian (W, D) -> (W, D, D) (reference ``Ddlnp``,
+    linna/util.py:1037-1051, row-by-row autograd loop)."""
+    single = lambda x: jnp.squeeze(log_prob(x[None, :]))
+    return jax.vmap(jax.hessian(single))

@@ -1,0 +1,520 @@
+"""The LINNA outer loop: sample -> evaluate theory -> train emulator -> MCMC.
+
+TPU-native rebuild of the reference orchestrator (linna/main.py:22-335):
+
+- ``ml_sampler`` carries the paper's hyperparameters (linna/main.py:47-75);
+- ``ml_sampler_core`` runs the iterative loop: per iteration, read + cut the
+  previous chain, draw training points focused on the current posterior,
+  fan the theory model out over the host pool, train the emulator, then run
+  convergence-gated ensemble MCMC on the emulated likelihood with the
+  iteration's temperature (squared before use, linna/main.py:153).
+
+Differences by design:
+- training runs IN PROCESS on the accelerator (no pickled-closure subprocess
+  handoff / Slurm GPU co-allocation — reference linna/main.py:186-252,
+  linna/train_gpu.py); the ``gpunode`` argument is accepted for API
+  compatibility and ignored;
+- MCMC runs fully on device (no pool in the sampling loop);
+- artifacts are pickle-free (transforms.npz, *.ckpt.npz, finish.json) but the
+  sample files and HDF5 chain layouts are byte-compatible with the reference
+  for resume/analysis parity.
+
+Every stage is file-gated for idempotent crash recovery, matching the
+reference's restart contract (SURVEY §5.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Optional, Sequence
+
+import jax
+import numpy as np
+
+from . import data as D
+from . import likelihood as LK
+from . import losses as L
+from . import nn as N
+from . import priors as P
+from . import sample_gen as SG
+from . import transforms as T
+from .samplers import backends, convergence, run as sampler_run
+from .train import BEST_CKPT, Trainer
+
+__all__ = [
+    "ml_sampler",
+    "ml_sampler_core",
+    "train_emulator",
+    "retrieve_model",
+    "read_chain_and_cut",
+]
+
+FINISH_MARKER = "finish.json"
+TRANSFORMS_FILE = "transforms.npz"
+
+
+# --------------------------------------------------------------------- chains
+
+
+def _chain_filename(method: str) -> str:
+    if method == "emcee":
+        return sampler_run.EMCEE_FILENAME
+    if method == "zeus":
+        return sampler_run.ZEUS_FILENAME
+    raise NotImplementedError(method)
+
+
+def _open_backend(chainname: str, method: str):
+    if method == "emcee":
+        return backends.EmceeBackend(chainname)
+    return backends.ZeusBackend(chainname)
+
+
+def get_good_walker_list(log_prob_samples: np.ndarray) -> np.ndarray:
+    """Cluster walkers by mean log-prob and keep the best cluster
+    (reference linna/util.py:57-66, KMeans over mean logp)."""
+    from sklearn.cluster import KMeans
+
+    x = np.mean(log_prob_samples[-10000:, :], axis=0)
+    X = np.stack([x, np.zeros_like(x)], axis=1).astype(int)
+    n_clusters = min(8, len(np.unique(X[:, 0])))
+    ms = KMeans(n_clusters=max(n_clusters, 1), n_init=10).fit(X)
+    best = ms.labels_[np.argmax(ms.cluster_centers_[:, 0])]
+    return np.where(ms.labels_ == best)[0]
+
+
+def read_chain_and_cut(
+    chainname: str,
+    nk: float,
+    ntimes: float = 20,
+    walkercut: bool = False,
+    method: str = "emcee",
+    flat: bool = False,
+):
+    """Keep the last ``nk * median(tau)`` steps of the physical-space chain
+    (reference linna/util.py:68-94)."""
+    reader = _open_backend(chainname, method)
+    raw = reader.get_chain()
+    tau = convergence.integrated_time(raw)
+    nkeep = int(np.nanmedian(tau) * nk)
+    chain = reader.get_value("chain_transformed")
+    log_prob_samples = reader.get_log_prob()
+    if walkercut:
+        good = get_good_walker_list(log_prob_samples)
+    else:
+        good = np.arange(log_prob_samples.shape[1])
+    chain = chain[-nkeep:, good, :].reshape(-1, chain.shape[-1])
+    log_prob_samples = log_prob_samples[-nkeep:, good]
+    if flat:
+        log_prob_samples = log_prob_samples.reshape(-1, 1)
+    return chain, log_prob_samples, reader
+
+
+# ------------------------------------------------------------------- training
+
+
+def train_emulator(
+    outdir_in: str,
+    outdir_list: Sequence[str],
+    data_vec: np.ndarray,
+    cov: np.ndarray,
+    sigma: np.ndarray,
+    dolog10index: Optional[Sequence[int]],
+    ypositive: bool,
+    model_name: str,
+    params: dict,
+    retrain: bool = False,
+    usebest: bool = False,
+    seed: int = 1234,
+    verbose: bool = False,
+) -> None:
+    """In-process equivalent of the reference's pickled ``train_NN``
+    subprocess (linna/util.py:1315-1472 + linna/train_gpu.py): stack all
+    iterations' data, curate, fit transforms, train, drop a finish marker."""
+    finish_path = os.path.join(outdir_in, FINISH_MARKER)
+    if os.path.isfile(finish_path) and not retrain:
+        return
+    best_path = os.path.join(outdir_in, BEST_CKPT)
+    if os.path.isfile(best_path) and not retrain:
+        _write_finish(finish_path)
+        return
+
+    stack = D.curate(D.load_iteration_stack(outdir_list, usebest=usebest), ypositive)
+    x_transform = T.fit_x_transform(stack.train_x, dolog10index)
+    y_data = T.YTransformData(jax.numpy.asarray(sigma, dtype=jax.numpy.float32))
+    scaled_stats = stack.train_y_for_stats / np.asarray(sigma)
+    y_transform = T.fit_y_transform(scaled_stats, ypositive=ypositive)
+    transforms = T.TransformSet(x_transform, y_transform, y_data)
+    T.save_transforms(os.path.join(outdir_in, TRANSFORMS_FILE), transforms)
+
+    loss_state = L.build_loss_state(data_vec, cov, transforms)
+    spec = N.make_model_spec(
+        model_name, stack.train_x.shape[-1], stack.train_y.shape[-1]
+    )
+    trainer = Trainer(spec, transforms, loss_state, outdir=outdir_in, seed=seed)
+    trainer.train(
+        stack.train_x,
+        stack.train_y,
+        stack.val_x,
+        stack.val_y,
+        num_epochs=int(params.get("num_epochs", 4500)),
+        batch_size=int(params.get("batch_size", 500)),
+        initfrombest=True,
+        verbose=verbose,
+    )
+    _write_finish(finish_path)
+
+
+def _write_finish(path: str) -> None:
+    with open(path, "w") as f:
+        json.dump({"status": "done"}, f)
+
+
+def retrieve_model(
+    outdir: str, in_size: int, out_size: int, model_name: str = "chto_v2"
+) -> Trainer:
+    """Rebuild a trained emulator from artifacts (reference
+    linna/util.py:611-639: unpickle transforms + load best checkpoint)."""
+    transforms = T.load_transforms(os.path.join(outdir, TRANSFORMS_FILE))
+    spec = N.make_model_spec(model_name, in_size, out_size)
+    # loss state not needed for inference; build a trivial one
+    trainer = Trainer.__new__(Trainer)
+    trainer.spec = spec
+    trainer.transforms = transforms
+    trainer.loss_state = None
+    trainer.outdir = outdir
+    trainer.seed = 0
+    trainer.key = jax.random.key(0)
+    trainer.params = N.init_model(jax.random.key(0), spec)
+    trainer.best_val_loss = float("inf")
+    trainer.lr = 1e-4
+    trainer.wd = 1e-4
+    from .utils import checkpoint as ckpt
+
+    trainer.params, _, _ = ckpt.load_checkpoint(
+        os.path.join(outdir, BEST_CKPT), trainer.params
+    )
+    return trainer
+
+
+# ------------------------------------------------------------------ main loop
+
+
+def ml_sampler(
+    outdir: str,
+    theory: Callable,
+    priors: Sequence[dict],
+    data: np.ndarray,
+    cov: np.ndarray,
+    init: np.ndarray,
+    pool=None,
+    nwalkers: int = 128,
+    gpunode: Optional[str] = None,
+    omegab2cut: Optional[Sequence] = None,
+    nepoch: int = 4500,
+    method: str = "zeus",
+    nbest=None,
+    chisqcut: Optional[float] = None,
+    loglikelihoodfunc: Optional[Callable] = None,
+):
+    """LINNA with the To et al. 2022 hyperparameters baked in
+    (reference linna/main.py:22-75)."""
+    ntrainArr = [10000] * 4
+    nvalArr = [500] * 4
+    if method == "emcee":
+        nkeepArr = [2, 2, 5, 4]
+        ntimesArr = [5, 5, 10, 15]
+        ntautolArr = [0.03, 0.03, 0.02, 0.01]
+    elif method == "zeus":
+        nkeepArr = [2, 2, 5, 5]
+        ntimesArr = [5, 5, 10, 50]
+        ntautolArr = [0.03, 0.03, 0.02, 0.01]
+    else:
+        raise NotImplementedError(method)
+    temperatureArr = [4.0, 2.0, 1.0, 1.0]
+    meanshiftArr = [0.2] * 4
+    stdshiftArr = [0.15] * 4
+    params = {"trainingoption": 1, "num_epochs": nepoch, "batch_size": 500}
+    return ml_sampler_core(
+        ntrainArr,
+        nvalArr,
+        nkeepArr,
+        ntimesArr,
+        ntautolArr,
+        meanshiftArr,
+        stdshiftArr,
+        outdir,
+        theory,
+        priors,
+        data,
+        cov,
+        init,
+        pool,
+        nwalkers,
+        device=None,
+        dolog10index=None,
+        ypositive=False,
+        temperatureArr=temperatureArr,
+        omegab2cut=omegab2cut,
+        gpunode=gpunode,
+        nnmodel_in="chto_v2",
+        params=params,
+        method=method,
+        nbest=nbest,
+        chisqcut=chisqcut,
+        loglikelihoodfunc=loglikelihoodfunc,
+    )
+
+
+def ml_sampler_core(
+    ntrainArr,
+    nvalArr,
+    nkeepArr,
+    ntimesArr,
+    ntautolArr,
+    meanshiftArr,
+    stdshiftArr,
+    outdir: str,
+    theory: Callable,
+    priors: Sequence[dict],
+    data: np.ndarray,
+    cov: np.ndarray,
+    init: np.ndarray,
+    pool=None,
+    nwalkers: int = 128,
+    device=None,
+    dolog10index: Optional[Sequence[int]] = None,
+    ypositive: bool = False,
+    temperatureArr: Sequence[float] = (4.0, 2.0, 1.0, 1.0),
+    omegab2cut: Optional[Sequence] = None,
+    docuda: bool = False,
+    tsize: int = 1,
+    gpunode: Optional[str] = None,
+    nnmodel_in: str = "chto_v2",
+    params: Optional[dict] = None,
+    method: str = "emcee",
+    nbest=None,
+    chisqcut: Optional[float] = None,
+    loglikelihoodfunc: Optional[Callable] = None,
+    nsigma: float = 3,
+    externalloglike: Optional[Callable] = None,
+    seed: int = 0,
+    verbose: bool = False,
+):
+    """Reference-parity iterative loop (linna/main.py:77-335).
+
+    Returns (chain, log_prob) of the final iteration, chain in physical space.
+    """
+    params = dict(params or {})
+    if not isinstance(nnmodel_in, str):
+        nnmodel_in = getattr(nnmodel_in, "__name__", "chto_v2")
+        nnmodel_in = {
+            "ChtoModelv2": "chto_v2",
+            "ChtoModelsimple": "chto_simple",
+            "ChtoModelv2_linear": "chto_v2_linear",
+        }.get(nnmodel_in, "chto_v2")
+    data = np.asarray(data, dtype=np.float64)
+    cov = np.asarray(cov, dtype=np.float64)
+    init = np.asarray(init, dtype=np.float64)
+    ndim = len(init)
+    sigma = np.sqrt(np.diag(cov))
+    inv_cov = np.linalg.inv(cov)
+    pack = P.priors_from_list(priors)
+    prior_range = P.prior_range(pack)
+    init_white = np.atleast_1d(np.asarray(P.inv_transform(pack, init)))
+    filename = _chain_filename(method)
+    is_master = pool is None or pool.is_master()
+
+    options = int(params.get("trainingoption", 0))
+    rng = np.random.default_rng(seed)
+    chain = None
+    for i, (nt, nv, nk, ntimes, tautol, temperature, meanshift, stdshift) in enumerate(
+        zip(
+            ntrainArr,
+            nvalArr,
+            nkeepArr,
+            ntimesArr,
+            ntautolArr,
+            temperatureArr,
+            meanshiftArr,
+            stdshiftArr,
+        )
+    ):
+        nbest_in = nbest[i] if isinstance(nbest, list) else nbest
+        if isinstance(nbest, list) and nbest_in is not None and nbest_in <= 0:
+            nbest_in = None
+        negloglike = None
+        if nbest_in is not None:
+            import tempfile
+
+            tempdir = tempfile.mkdtemp()
+
+            def negloglike(x, _tmp=tempdir):
+                d = data - theory([-1, x], _tmp)
+                return float(d @ inv_cov @ d)
+
+        temperature = float(temperature) ** 2  # linna/main.py:153
+        outdir_in = os.path.join(outdir, f"iter_{i}/")
+        if i == 0:
+            chain = None
+        else:
+            prev = os.path.join(outdir, f"iter_{i-1}/", filename)
+            chain, _, _ = read_chain_and_cut(prev, nk, ntimes, method=method)
+
+        nnsampler = SG.NNSampler(outdir_in, prior_range)
+        SG.generate_training_point(
+            theory,
+            nnsampler,
+            pool,
+            outdir_in,
+            nt,
+            nv,
+            data,
+            inv_cov,
+            chain,
+            nsigma=nsigma,
+            omegab2cut=omegab2cut,
+            options=options,
+            negloglike=negloglike,
+            nbest_in=nbest_in,
+            chisqcut=chisqcut,
+        )
+        chain = None
+
+        if is_master:
+            outdir_list = [os.path.join(outdir, f"iter_{m}/") for m in range(i + 1)]
+            train_emulator(
+                outdir_in,
+                outdir_list,
+                data,
+                cov,
+                sigma,
+                dolog10index,
+                ypositive,
+                nnmodel_in,
+                params,
+                usebest=nbest_in is not None,
+                verbose=verbose,
+            )
+
+            # skip MCMC when this iteration's chain already exists
+            # (linna/main.py:273-274 file gating)
+            chain_path = os.path.join(outdir_in, filename)
+            if not os.path.isfile(chain_path):
+                trainer = retrieve_model(outdir_in, ndim, len(data), nnmodel_in)
+                log_prob = LK.make_log_prob(
+                    trainer.spec,
+                    trainer.params,
+                    trainer.transforms,
+                    pack,
+                    data,
+                    inv_cov,
+                    temperature=temperature,
+                    loglike_fn=loglikelihoodfunc,
+                    external_loglike=externalloglike,
+                )
+                jitter = 0.1 if method == "emcee" else 0.001
+                x0 = init_white + jitter * rng.standard_normal((nwalkers, ndim))
+                sampler_run.run_ensemble(
+                    log_prob,
+                    x0,
+                    outdir_in,
+                    method=method,
+                    transform=lambda x: np.asarray(P.transform(pack, x)),
+                    ntimes=ntimes,
+                    tautol=tautol,
+                    meanshift=meanshift,
+                    stdshift=stdshift,
+                    nk=nk,
+                    seed=seed + i,
+                    progress=verbose,
+                )
+
+    # final chain
+    last = os.path.join(outdir, f"iter_{len(ntrainArr)-1}/", filename)
+    chain, log_prob_samples, reader = read_chain_and_cut(
+        last, nkeepArr[-1], ntimesArr[-1], method=method
+    )
+    log_prob_samples = reader.get_log_prob(flat=True)
+
+    if "nimp" in params and is_master:
+        chain, log_prob_samples = _importance_sampling(
+            outdir,
+            last,
+            params,
+            nkeepArr[-1],
+            ntimesArr[-1],
+            method,
+            theory,
+            pool,
+            priors,
+            data,
+            inv_cov,
+            prior_range,
+            rng,
+        )
+    return chain, log_prob_samples
+
+
+def _importance_sampling(
+    outdir,
+    chain_name,
+    params,
+    nk,
+    ntimes,
+    method,
+    theory,
+    pool,
+    priors,
+    data,
+    inv_cov,
+    prior_range,
+    rng,
+):
+    """Exact-theory importance reweighting of the final chain
+    (reference linna/main.py:297-334): subsample, evaluate the true theory,
+    weight by exp(logp_true - logp_emulator), zero out 2-sigma log-weight
+    outliers."""
+    samples_path = os.path.join(outdir, "samples_im.npy")
+    logp_path = os.path.join(outdir, "log_prob_samples_x.npy")
+    if not os.path.isfile(samples_path):
+        chain, log_prob_samples, _ = read_chain_and_cut(
+            chain_name, nk, ntimes, method=method, flat=True
+        )
+        log_prob_samples = np.asarray(log_prob_samples).flatten()
+        select = rng.integers(0, len(chain), int(params["nimp"]))
+        chain = chain[select]
+        log_prob_samples = log_prob_samples[select]
+        np.save(samples_path, chain)
+        np.save(logp_path, log_prob_samples)
+    else:
+        chain = np.load(samples_path)
+        log_prob_samples = np.load(logp_path)
+
+    outimp = os.path.join(outdir, "imp/")
+    os.makedirs(outimp, exist_ok=True)
+    theory_path = os.path.join(outdir, "theory.npy")
+    nnsampler = SG.NNSampler(outimp, prior_range)
+    if not os.path.isfile(theory_path):
+        theory_vals = nnsampler.generate_training_data(
+            zip(range(len(chain)), chain), theory, pool=pool, args=[outimp]
+        )
+        np.save(theory_path, theory_vals)
+    else:
+        theory_vals = np.load(theory_path)
+
+    pack = P.priors_from_list(priors)
+    logp = np.array(
+        [
+            -0.5 * float((t[: len(data)] - data) @ inv_cov @ (t[: len(data)] - data))
+            + float(P.log_prior_physical(pack, jax.numpy.asarray(s, jax.numpy.float32)))
+            for t, s in zip(theory_vals, chain)
+        ]
+    )
+    w = np.exp(logp - log_prob_samples)
+    logw = np.log(w)
+    w[np.abs(logw - np.mean(logw)) > 2 * np.std(logw)] = 0
+    w = w / np.sum(w)
+    np.save(os.path.join(outdir, "weight_im.npy"), [log_prob_samples, logp, w])
+    return chain, log_prob_samples

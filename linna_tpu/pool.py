@@ -1,0 +1,213 @@
+"""Host-side task pools for external theory-model evaluation.
+
+Role split in the TPU design: everything the reference used its MPI pool for
+*inside* MCMC (per-walker likelihoods, linna/sampler.py:493-503) now runs
+on-device via batched jit — no host pool at all.  What remains host-side is
+the embarrassingly-parallel fan-out of the *external* theory code (cosmology
+C libraries etc.) when generating training data, which the reference farms
+over 128 MPI ranks (reference ``chtoPool``/``chtoMultiprocessPool``,
+linna/util.py:100-289, SURVEY §2.8).
+
+Pools here present the same duck type (``map``, ``is_master``, ``bcast``,
+``noduplicate``/``noduplicate_close``) so orchestrator code is agnostic:
+
+- :class:`SerialPool` — in-process map (tests, laptops).
+- :class:`MultiprocessPool` — fork-based pool for one host.
+- :class:`MPIPool` — master/worker farm over mpi4py when available, with the
+  reference's ``noduplicate`` function-broadcast optimization (send the
+  callable once, then only arguments — linna/util.py:143-158,200-240).
+"""
+
+from __future__ import annotations
+
+import multiprocessing
+from typing import Any, Callable, Iterable, List
+
+__all__ = ["SerialPool", "MultiprocessPool", "MPIPool", "make_pool"]
+
+
+class SerialPool:
+    """In-process pool (no parallelism)."""
+
+    noduplicate = False
+
+    def is_master(self) -> bool:
+        return True
+
+    def map(self, fn: Callable, tasks: Iterable) -> List[Any]:
+        return [fn(t) for t in tasks]
+
+    def bcast(self, fn: Callable, args: Any = None) -> None:
+        pass
+
+    def noduplicate_close(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+    def wait(self) -> None:
+        pass
+
+
+class MultiprocessPool:
+    """Single-host fork pool (reference ``chtoMultiprocessPool``,
+    linna/util.py:258-289).  Order-preserving map."""
+
+    noduplicate = False
+
+    def __init__(self, processes: int | None = None):
+        self._pool = multiprocessing.Pool(processes=processes)
+
+    def is_master(self) -> bool:
+        return True
+
+    def map(self, fn: Callable, tasks: Iterable) -> List[Any]:
+        return self._pool.map(fn, list(tasks))
+
+    def bcast(self, fn: Callable, args: Any = None) -> None:
+        pass
+
+    def noduplicate_close(self) -> None:
+        pass
+
+    def close(self) -> None:
+        self._pool.close()
+        self._pool.join()
+
+    def wait(self) -> None:
+        pass
+
+
+class MPIPool:
+    """Master/worker task farm over mpi4py (reference ``chtoPool``,
+    linna/util.py:100-257).
+
+    Master sends ``(func, arg)`` per task; with ``noduplicate`` enabled the
+    function object is transmitted once per worker and subsequent tasks carry
+    a sentinel telling the worker to reuse it — the reference's optimization
+    for shipping a large emulator to workers only once.  Workers loop in
+    :meth:`wait` until they receive ``None``.
+    """
+
+    _REUSE = "__noduplicate__"
+    _RESET = "__reset__"
+
+    def __init__(self):
+        try:
+            from mpi4py import MPI
+        except ImportError as e:  # pragma: no cover - environment dependent
+            raise ImportError("MPIPool requires mpi4py") from e
+        self.comm = MPI.COMM_WORLD
+        self.rank = self.comm.Get_rank()
+        self.size = self.comm.Get_size()
+        if self.size < 2:
+            raise ValueError("MPIPool needs at least 2 ranks")
+        self.noduplicate = False
+        self._workers_have_func: set[int] = set()
+
+    def is_master(self) -> bool:
+        return self.rank == 0
+
+    def map(self, fn: Callable, tasks: Iterable) -> List[Any]:
+        if not self.is_master():
+            self.wait()
+            return []
+        tasks = list(tasks)
+        n_workers = self.size - 1
+        results: List[Any] = [None] * len(tasks)
+        next_task = 0
+        in_flight = {}
+        # prime
+        for w in range(1, min(n_workers, len(tasks)) + 1):
+            self._send_task(fn, tasks[next_task], w, next_task)
+            in_flight[w] = next_task
+            next_task += 1
+        while in_flight:
+            status = _mpi_status()
+            result = self.comm.recv(source=_mpi_any_source(), tag=_mpi_any_tag(), status=status)
+            w = status.Get_source()
+            results[status.Get_tag()] = result
+            if next_task < len(tasks):
+                self._send_task(fn, tasks[next_task], w, next_task)
+                in_flight[w] = next_task
+                next_task += 1
+            else:
+                del in_flight[w]
+        return results
+
+    def _send_task(self, fn, arg, worker, tag):
+        if self.noduplicate and worker in self._workers_have_func:
+            payload = (self._REUSE, arg)
+        else:
+            payload = (fn, arg)
+            if self.noduplicate:
+                self._workers_have_func.add(worker)
+        self.comm.send(payload, dest=worker, tag=tag)
+
+    def noduplicate_close(self) -> None:
+        for w in range(1, self.size):
+            self.comm.send((self._RESET, None), dest=w, tag=0)
+        self._workers_have_func.clear()
+        self.noduplicate = False
+
+    def bcast(self, fn: Callable, args: Any = None) -> None:
+        """Run ``fn(args)`` on every worker without collecting results
+        (reference linna/util.py:241-256)."""
+        for w in range(1, self.size):
+            self.comm.send(("__bcast__", (fn, args)), dest=w, tag=0)
+
+    def wait(self) -> None:
+        """Worker loop: execute tasks until shutdown."""
+        old_func = None
+        status = _mpi_status()
+        while True:
+            payload = self.comm.recv(source=0, tag=_mpi_any_tag(), status=status)
+            if payload is None:
+                break
+            func, arg = payload
+            if func == self._RESET:
+                old_func = None
+                continue
+            if func == "__bcast__":
+                f, a = arg
+                f(a)
+                continue
+            if func == self._REUSE:
+                func = old_func
+            else:
+                old_func = func
+            self.comm.send(func(arg), dest=0, tag=status.Get_tag())
+
+    def close(self) -> None:
+        if self.is_master():
+            for w in range(1, self.size):
+                self.comm.send(None, dest=w, tag=0)
+
+
+def _mpi_status():
+    from mpi4py import MPI
+
+    return MPI.Status()
+
+
+def _mpi_any_source():
+    from mpi4py import MPI
+
+    return MPI.ANY_SOURCE
+
+
+def _mpi_any_tag():
+    from mpi4py import MPI
+
+    return MPI.ANY_TAG
+
+
+def make_pool(kind: str = "serial", processes: int | None = None):
+    if kind == "serial":
+        return SerialPool()
+    if kind == "multiprocess":
+        return MultiprocessPool(processes)
+    if kind == "mpi":
+        return MPIPool()
+    raise ValueError(f"unknown pool kind {kind!r}")

@@ -196,7 +196,21 @@ class Trainer:
         (params, opt_state), batch_losses = jax.lax.scan(step, (params, opt_state), perm)
         val_pred = N.apply_model(self.spec, params, self.transforms.x_transform(val_x))
         val_metric = L.val_metric_fn(self.loss_state, self.transforms, val_pred, val_y)
-        return params, opt_state, batch_losses, val_metric
+        # Output-collapse diagnostic: the ReLU trunk can die into a constant
+        # or rank-deficient output subspace (all val predictions identical or
+        # perfectly collinear), which stalls training permanently.  The
+        # smallest eigenvalue of the prediction correlation matrix is ~0 in
+        # that state and O(1) for a healthy model.  Only meaningful (and only
+        # a risk) for small output sizes; for ndata in the hundreds a full
+        # output-stage death is statistically impossible.
+        if self.spec.out_size <= 16:
+            centered = val_pred - jnp.mean(val_pred, axis=0)
+            denom = jnp.sqrt(jnp.mean(centered**2, axis=0)) + 1e-20
+            corr = (centered / denom).T @ (centered / denom) / val_pred.shape[0]
+            min_eig = jnp.linalg.eigvalsh(corr)[0]
+        else:
+            min_eig = jnp.asarray(1.0)
+        return params, opt_state, batch_losses, val_metric, min_eig
 
     @partial(jax.jit, static_argnums=0)
     def _train_step(self, params, opt_state, bx, by):
@@ -275,7 +289,7 @@ class Trainer:
         told = 0.0
         for i in range(num_epochs):
             self.key, ekey = jax.random.split(self.key)
-            self.params, self.opt_state, batch_losses, val_metric = self._epoch(
+            self.params, self.opt_state, batch_losses, val_metric, min_eig = self._epoch(
                 self.params, self.opt_state, ekey, train_x, train_y, val_x, val_y
             )
             batch_losses = np.asarray(batch_losses)
@@ -289,19 +303,48 @@ class Trainer:
             if is_best:
                 self.best_val_loss = val0
 
-            # --- flat-start detector (linna/predictor_gpu.py:319-335)
-            if (
+            flat_start = (
                 i >= 10
                 and i < 120
                 and i % 10 == 0
                 and np.std([m[0] for m in val_metrics[-10:]])
                 < 0.01 * np.mean([m[0] for m in val_metrics[-10:]])
-            ):
+            )
+            # Output collapse (dead ReLU output stage) can strike at any
+            # epoch and never recovers by gradient descent — reinit when the
+            # prediction correlation goes truly rank-deficient (machine-zero
+            # smallest eigenvalue) while the loss is far from the best seen.
+            # Additionally, a late stall far above the best-ever loss is
+            # escaped by reloading the best checkpoint.
+            collapsed = (
+                float(min_eig) < 1e-6
+                and i % 10 == 0
+                and i >= 10
+                and val0 > 2.0 * self.best_val_loss
+            )
+            late_stall = (
+                i >= 120
+                and i % 50 == 0
+                and self.best_val_loss < np.inf
+                and val0 > 3.0 * self.best_val_loss
+                and np.std([m[0] for m in val_metrics[-10:]])
+                < 0.01 * np.mean([m[0] for m in val_metrics[-10:]])
+            )
+            # --- flat-start detector (linna/predictor_gpu.py:319-335) +
+            #     collapse/stall escapes (this framework's additions)
+            if flat_start or collapsed:
                 if verbose:
-                    print(f"bad training restart at epoch {i}", flush=True)
+                    why = "collapse" if collapsed else "flat start"
+                    print(f"bad training restart at epoch {i} ({why})", flush=True)
                 self._reinit_weights()
                 if i > 10 and self.lr > 2e-4:
                     self.lr = max(self.lr / 2.0, MIN_LR)
+                self._reset_optimizer()
+            elif late_stall:
+                if verbose:
+                    print(f"late stall at epoch {i}: reload best", flush=True)
+                if not self.load_best():
+                    self._reinit_weights()
                 self._reset_optimizer()
             # --- NaN / loss-spike recovery (linna/predictor_gpu.py:339-373)
             elif (
@@ -406,8 +449,17 @@ def lr_range_test(
             lrs = lrs[: len(losses)]
             break
 
-    grad = np.gradient(np.array(losses))
-    lr = float(lrs[int(grad.argmin())])
+    # steepest smoothed-loss descent, skipping the warmup transient where the
+    # exponential smoothing lag dominates the gradient (torch_lr_finder's
+    # skip_start=10/skip_end=5 plotting convention; without this the argmin
+    # degenerates to the first few samples and picks start_lr).
+    skip_start, skip_end = 10, 5
+    window = np.array(losses[skip_start : len(losses) - skip_end])
+    if len(window) >= 3:
+        pick = skip_start + int(np.gradient(window).argmin())
+    else:
+        pick = int(np.gradient(np.array(losses)).argmin())
+    lr = float(lrs[pick])
     if lr > 1.0:
         lr = lr / 100.0
     if outdir is not None:
