@@ -1,0 +1,149 @@
+"""Headline benchmark: emulator-likelihood throughput on the MCMC hot path.
+
+Measures full ensemble-sampler walker updates (stretch move: proposal +
+batched ChtoModelv2 forward + chi^2 + prior + accept) per second on a
+DES-Y1-3x2pt-shaped problem (27 params, 457-point data vector, 1024 walkers),
+then compares against the reference's architecture on the same hardware
+class: one emulator likelihood at a time through a torch CPU forward
+(reference linna/util.py:990 ``Log_prob`` called per walker per move via the
+MPI pool; inference path linna/predictor_gpu.py:461-504).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+NDIM = 27
+NDATA = 457
+WALKERS = 1024
+CHUNK = 100  # sampler steps per device program (production check cadence)
+
+
+def _enable_compile_cache():
+    """Persist compiled programs so cold-start runs don't pay the remote
+    compile twice (first compile over a tunneled TPU is minutes)."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/linna_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def bench_tpu() -> float:
+    """Walker log-prob evaluations/sec inside the jitted sampler chunk."""
+    import jax
+
+    from __graft_entry__ import _build_problem
+    from linna_tpu.samplers import stretch
+
+    *_, log_prob = _build_problem(NDIM, NDATA)
+    x0 = jax.random.normal(jax.random.key(1), (WALKERS, NDIM), dtype="float32")
+    state = stretch.init_state(jax.random.key(2), x0, log_prob)
+
+    # warmup/compile
+    state, chain, _ = stretch.stretch_chunk(log_prob, state, CHUNK, 2.0)
+    jax.block_until_ready(chain)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, chain, _ = stretch.stretch_chunk(log_prob, state, CHUNK, 2.0)
+    jax.block_until_ready(chain)
+    dt = time.perf_counter() - t0
+    # one stretch step evaluates log_prob for every walker once
+    return WALKERS * CHUNK * reps / dt
+
+
+def bench_reference_style(max_evals: int = 300, max_seconds: float = 30.0) -> float:
+    """Reference-architecture baseline measured live: single-walker torch CPU
+    emulator likelihood (same ChtoModelv2 topology/widths), eval-mode
+    ``torch.jit`` inference like linna/predictor_gpu.py:480-490."""
+    import torch
+
+    h = 1000 if NDATA > 30 else max(32, 32 * NDATA)
+
+    class ResBlock(torch.nn.Module):
+        def __init__(self, n_in, ch, n_out):
+            super().__init__()
+            self.l1 = torch.nn.Linear(n_in, ch)
+            self.l2 = torch.nn.Linear(ch, n_out)
+            self.skip = torch.nn.Linear(n_in, n_out, bias=False)
+
+        def forward(self, x):
+            return torch.relu(0.1 * self.l2(torch.relu(self.l1(x))) + self.skip(x))
+
+    class Model(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.l1 = torch.nn.Linear(NDIM, h)
+            self.rb1 = ResBlock(h, 16, h // 2)
+            self.rb2 = ResBlock(h // 2, 32, h // 4)
+            self.rb3 = ResBlock(h // 4, 64, h // 8)
+            self.l6 = torch.nn.Linear(h // 8, h // 2)
+            self.l7 = torch.nn.Linear(h // 2, NDATA)
+            self.l8 = torch.nn.Linear(NDATA, NDATA)
+
+        def forward(self, x):
+            s = torch.relu(self.l1(x))
+            s = self.rb3(self.rb2(self.rb1(s)))
+            s = torch.relu(self.l6(s))
+            s = torch.relu(self.l7(s))
+            return self.l8(s)
+
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+    model = Model().eval()
+    try:
+        model = torch.jit.optimize_for_inference(
+            torch.jit.script(model)
+        )  # reference's MKLDNN/TorchScript fast path
+    except Exception:
+        pass
+    data = torch.randn(NDATA)
+    inv_cov = torch.eye(NDATA)
+    xs = [torch.randn(1, NDIM) for _ in range(max_evals)]
+    with torch.no_grad():
+        model(xs[0])  # warmup
+        n = 0
+        t0 = time.perf_counter()
+        for x in xs:
+            m = model(x)[0]
+            d = m - data
+            _ = -0.5 * (d @ inv_cov @ d) - 0.5 * (x**2).sum()
+            n += 1
+            if time.perf_counter() - t0 > max_seconds:
+                break
+        dt = time.perf_counter() - t0
+    return n / dt
+
+
+def main():
+    _enable_compile_cache()
+    value = bench_tpu()
+    try:
+        baseline = bench_reference_style()
+    except Exception:
+        baseline = float("nan")
+    vs = value / baseline if np.isfinite(baseline) and baseline > 0 else None
+    print(
+        json.dumps(
+            {
+                "metric": "emulator_loglike_evals_per_sec",
+                "value": round(value, 1),
+                "unit": "evals/s",
+                "vs_baseline": round(vs, 1) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

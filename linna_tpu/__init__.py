@@ -11,7 +11,7 @@ posterior each round.
 
 from . import priors, transforms, nn, losses  # noqa: F401
 from . import data, likelihood, pool, sample_gen, train  # noqa: F401
-from . import samplers  # noqa: F401
+from . import parallel, samplers  # noqa: F401
 from .orchestrator import ml_sampler, ml_sampler_core  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,131 @@
+"""Mesh-sharded training + sampling on the 8-virtual-device CPU mesh
+(conftest forces JAX_PLATFORMS=cpu with xla_force_host_platform_device_count=8;
+mirrors the driver's ``dryrun_multichip`` environment)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import linna_tpu.losses as L
+import linna_tpu.nn as N
+import linna_tpu.parallel as PX
+import linna_tpu.transforms as T
+from linna_tpu.parallel.dtrain import init_sharded
+
+
+def _problem(ndim=4, ndata=8):
+    spec = N.make_model_spec("chto_v2", ndim, ndata)
+    x_t = T.XTransform(jnp.zeros(ndim), jnp.ones(ndim), jnp.zeros(ndim, bool))
+    y_t = T.YTransform(jnp.zeros(ndata), jnp.ones(ndata), False)
+    y_d = T.YTransformData(jnp.ones(ndata))
+    transforms = T.TransformSet(x_t, y_t, y_d)
+    data = np.linspace(-0.5, 0.5, ndata)
+    loss_state = L.build_loss_state(data, np.eye(ndata), transforms)
+    return spec, transforms, loss_state
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest should give 8 virtual devices"
+    return PX.make_mesh(jax.devices(), n_model=2)
+
+
+def test_sharded_epoch_matches_single_device(mesh):
+    """The mesh-sharded epoch must compute the same math as unsharded jit:
+    same params in -> bitwise-comparable losses out (modulo reduction order:
+    compare to 1e-5)."""
+    spec, transforms, loss_state = _problem()
+    optimizer = optax.adamw(1e-3)
+    key = jax.random.key(0)
+    k_init, k_epoch, k_x, k_y = jax.random.split(key, 4)
+
+    train_x = jax.random.normal(k_x, (64, 4))
+    train_y = jax.random.normal(k_y, (64, 8))
+
+    # sharded run
+    params_s, opt_s = init_sharded(k_init, spec, optimizer, mesh)
+    epoch_s = PX.make_sharded_epoch(
+        spec, transforms, loss_state, optimizer, mesh, batch_size=16
+    )
+    bsh = PX.batch_sharding(mesh)
+    out_s = epoch_s(
+        params_s,
+        opt_s,
+        k_epoch,
+        jax.device_put(train_x, bsh),
+        jax.device_put(train_y, bsh),
+        jax.device_put(train_x[:16], bsh),
+        jax.device_put(train_y[:16], bsh),
+    )
+    losses_s = np.asarray(out_s[2])
+
+    # single-device reference (identical init key => identical params)
+    params = N.init_model(k_init, spec)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(p, bx, by):
+        pred = N.apply_model(spec, p, transforms.x_transform(bx))
+        return L.loss_fn(loss_state, transforms, pred, by)
+
+    @jax.jit
+    def epoch1(params, opt_state, key):
+        perm = jax.random.permutation(key, 64)[:64].reshape(4, 16)
+
+        def step(carry, idx):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, train_x[idx], train_y[idx]
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), perm)
+        return params, losses
+
+    _, losses_1 = epoch1(params, opt_state, k_epoch)
+    np.testing.assert_allclose(losses_s, np.asarray(losses_1), rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_train_step_runs_and_updates(mesh):
+    spec, transforms, loss_state = _problem()
+    optimizer = optax.adamw(1e-3)
+    params, opt_state = init_sharded(jax.random.key(1), spec, optimizer, mesh)
+    step = PX.make_sharded_train_step(spec, transforms, loss_state, optimizer, mesh)
+    bsh = PX.batch_sharding(mesh)
+    bx = jax.device_put(jax.random.normal(jax.random.key(2), (32, 4)), bsh)
+    by = jax.device_put(jax.random.normal(jax.random.key(3), (32, 8)), bsh)
+    w_before = np.asarray(params["layer1"]["w"])
+    params, opt_state, loss = step(params, opt_state, bx, by)
+    assert np.isfinite(float(loss))
+    assert not np.allclose(np.asarray(params["layer1"]["w"]), w_before)
+
+
+def test_sharded_sampler_chunk(mesh):
+    """Walker ensemble sharded over all 8 devices produces finite samples and
+    matches the unsharded chunk exactly (same key => same randoms)."""
+    from linna_tpu.samplers import stretch
+
+    def log_prob(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    x0 = jax.random.normal(jax.random.key(4), (64, 4), dtype=jnp.float32)
+    x0_sharded = jax.device_put(x0, NamedSharding(mesh, P(("data", "model"), None)))
+
+    s1 = stretch.init_state(jax.random.key(5), x0, log_prob)
+    s1, chain1, lp1 = stretch.stretch_chunk(log_prob, s1, 10, 2.0)
+    s2 = stretch.init_state(jax.random.key(5), x0_sharded, log_prob)
+    s2, chain2, lp2 = stretch.stretch_chunk(log_prob, s2, 10, 2.0)
+    np.testing.assert_allclose(np.asarray(chain1), np.asarray(chain2), rtol=2e-5, atol=1e-6)
+    assert np.all(np.isfinite(np.asarray(lp2)))
+
+
+def test_param_shardings_cover_tree(mesh):
+    spec, *_ = _problem()
+    params = N.init_model(jax.random.key(0), spec)
+    sh = PX.param_shardings(params, mesh)
+    flat_p = jax.tree_util.tree_leaves_with_path(params)
+    flat_s = jax.tree_util.tree_leaves_with_path(sh)
+    assert len(flat_p) == len(flat_s)
