@@ -58,7 +58,7 @@ TRANSFORMS_FILE = "transforms.npz"
 
 
 def _chain_filename(method: str) -> str:
-    if method == "emcee":
+    if method in ("emcee",) + sampler_run.GRADIENT_METHODS:
         return sampler_run.EMCEE_FILENAME
     if method == "zeus":
         return sampler_run.ZEUS_FILENAME
@@ -66,7 +66,7 @@ def _chain_filename(method: str) -> str:
 
 
 def _open_backend(chainname: str, method: str):
-    if method == "emcee":
+    if method in ("emcee",) + sampler_run.GRADIENT_METHODS:
         return backends.EmceeBackend(chainname)
     return backends.ZeusBackend(chainname)
 

@@ -1,1 +1,1 @@
-from . import convergence, stretch, slicemove, backends, run  # noqa: F401
+from . import backends, convergence, hmc, precondition, run, slicemove, stretch  # noqa: F401

@@ -25,12 +25,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import backends, convergence, slicemove, stretch
+from . import backends, convergence, hmc, precondition, slicemove, stretch
 
 __all__ = ["run_ensemble", "EMCEE_FILENAME", "ZEUS_FILENAME"]
 
+# hmc/nuts share the emcee chain file, as in the reference where they are
+# moves inside the emcee machinery (linna/sampler.py:469,496-503)
 EMCEE_FILENAME = "chemcee_256.h5"
 ZEUS_FILENAME = "zeus_256.h5"
+GRADIENT_METHODS = ("hmc", "nuts")
 
 
 def _np_transform(transform):
@@ -62,6 +65,9 @@ def run_ensemble(
     a: float = 2.0,
     slice_max_steps: int = 100,
     tune_chunks: int = 10,
+    n_leapfrog: int = 10,
+    max_depth: int = 5,
+    m_adapt: int = 100,
     progress: bool = False,
 ):
     """Sample until converged; returns the backend holding the chain.
@@ -76,12 +82,21 @@ def run_ensemble(
     key = jax.random.key(seed)
     tfn = _np_transform(transform)
 
-    if method == "emcee":
+    if method in ("emcee",) + GRADIENT_METHODS:
         backend = backends.EmceeBackend(os.path.join(outdir, EMCEE_FILENAME))
     elif method == "zeus":
         backend = backends.ZeusBackend(os.path.join(outdir, ZEUS_FILENAME))
     else:
         raise NotImplementedError(method)
+
+    precond = None
+    if method in GRADIENT_METHODS:
+        # MAP + Hessian eigenbasis reparameterization; sample in the
+        # whitened-curvature space with unit mass (linna/sampler.py:408-456).
+        # The stored chain stays in the original (whitened-prior) space so
+        # resume does not depend on re-finding the identical MAP.
+        precond = precondition.calc_hess_mass_mat(log_prob_fn, np.mean(x0, axis=0))
+        log_prob_fn = precond.wrap_log_prob(log_prob_fn)
 
     resume = backend.initialized
     chain_parts = []
@@ -106,9 +121,21 @@ def run_ensemble(
         pick = jax.random.randint(rkey, (nwalkers,), 0, len(top))
         x0 = top[np.asarray(pick)]
 
+    if not resume and method in GRADIENT_METHODS:
+        backend.reset(nwalkers, ndim)
+        x0 = precond.draw_x0(np.random.default_rng(seed), nwalkers)
+    elif resume and method in GRADIENT_METHODS:
+        x0 = np.asarray(precond.to_sampling(x0), dtype=np.float32)
+
     key, skey = jax.random.split(key)
     if method == "emcee":
         state = stretch.init_state(skey, jnp.asarray(x0), log_prob_fn)
+    elif method == "hmc":
+        state = hmc.init_hmc_state(skey, jnp.asarray(x0), log_prob_fn)
+    elif method == "nuts":
+        state = hmc.init_nuts_state(
+            skey, jnp.asarray(x0), log_prob_fn, m_adapt=m_adapt
+        )
     else:
         state = slicemove.init_slice_state(skey, jnp.asarray(x0), log_prob_fn)
 
@@ -123,6 +150,27 @@ def run_ensemble(
             acc = np.asarray(state.accepted, dtype=np.float64)
             backend.append(
                 np.asarray(chain, np.float64),
+                np.asarray(lps, np.float64),
+                acc - prev_accepted,
+                transform=tfn,
+            )
+            prev_accepted = acc
+        elif method in GRADIENT_METHODS:
+            if method == "hmc":
+                state, chain, lps = hmc.hmc_chunk(
+                    log_prob_fn, state, check_every, n_leapfrog
+                )
+                acc = np.asarray(state.accepted, dtype=np.float64)
+            else:
+                state, chain, lps = hmc.nuts_chunk(
+                    log_prob_fn, state, check_every, max_depth
+                )
+                acc = prev_accepted + nwalkers  # every NUTS sample moves
+            # store in the original (whitened-prior) space
+            chain = np.asarray(chain, np.float64)
+            chain = precond.to_original(chain.reshape(-1, ndim)).reshape(chain.shape)
+            backend.append(
+                chain,
                 np.asarray(lps, np.float64),
                 acc - prev_accepted,
                 transform=tfn,
@@ -143,7 +191,7 @@ def run_ensemble(
         n_chunks_done += 1
 
         full_chain = np.concatenate(chain_parts)
-        if method == "emcee":
+        if method != "zeus":
             tau = convergence.integrated_time(full_chain)
             if np.isnan(np.sum(tau)) and iteration > 10:
                 break
