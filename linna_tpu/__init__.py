@@ -10,8 +10,14 @@ posterior each round.
 """
 
 from . import priors, transforms, nn, losses  # noqa: F401
-from . import data, likelihood, pool, sample_gen, train  # noqa: F401
+from . import data, likelihood, linear_model, pool, sample_gen, train  # noqa: F401
 from . import parallel, samplers  # noqa: F401
-from .orchestrator import ml_sampler, ml_sampler_core  # noqa: F401
+from .orchestrator import (  # noqa: F401
+    ml_sampler,
+    ml_sampler_core,
+    retrieve_model,
+    retrieve_model_exist,
+    retrieve_model_wrapper,
+)
 
 __version__ = "0.1.0"

@@ -47,6 +47,8 @@ __all__ = [
     "ml_sampler_core",
     "train_emulator",
     "retrieve_model",
+    "retrieve_model_exist",
+    "retrieve_model_wrapper",
     "read_chain_and_cut",
 ]
 
@@ -196,6 +198,49 @@ def retrieve_model(
         os.path.join(outdir, BEST_CKPT), trainer.params
     )
     return trainer
+
+
+def _saved_shapes(outdir: str):
+    x = np.loadtxt(os.path.join(outdir, "train_samples_x.txt"))
+    y = np.load(os.path.join(outdir, "train_samples_y.npy"))
+    return int(np.atleast_2d(x).shape[1]), int(np.atleast_2d(y).shape[1])
+
+
+def retrieve_model_exist(
+    outdir: str, in_size: int, out_size: int, model_name: str = "chto_v2"
+):
+    """Retrieval with shapes inferred from the saved training data, for
+    models trained with padded dimensions (reference linna/util.py:641-713).
+
+    Returns (trainer, incut, outcut): ``incut`` is the model's true input
+    size (>= ``in_size`` when the checkpoint was trained with extra params),
+    ``outcut`` the requested output size to cut predictions to.
+    """
+    in_saved, out_saved = _saved_shapes(outdir)
+    trainer = retrieve_model(outdir, in_saved, out_saved, model_name)
+    incut = max(in_saved, in_size)
+    return trainer, incut, out_size
+
+
+def retrieve_model_wrapper(outdir: str, model_name: str = "chto_v2"):
+    """User-facing retrieval (reference ``retrieve_model_wrapper_in``,
+    linna/util.py:715-734): returns a pure, jit/grad-compatible function
+    mapping physical parameters to the emulated data vector in raw data
+    space (X_transform -> model -> y_transform -> y_invtransform_data)."""
+    in_size, out_size = _saved_shapes(outdir)
+    trainer = retrieve_model(outdir, in_size, out_size, model_name)
+    spec, params, transforms = trainer.spec, trainer.params, trainer.transforms
+
+    def emulator(x):
+        x = jax.numpy.asarray(x, jax.numpy.float32)
+        one = x.ndim == 1
+        if one:
+            x = x[None, :]
+        pred = N.apply_model(spec, params, transforms.x_transform(x))
+        out = transforms.y_data.inverse(transforms.y_transform(pred))
+        return out[0] if one else out
+
+    return emulator
 
 
 # ------------------------------------------------------------------ main loop
@@ -402,12 +447,30 @@ def ml_sampler_core(
             # (linna/main.py:273-274 file gating)
             chain_path = os.path.join(outdir_in, filename)
             if not os.path.isfile(chain_path):
-                trainer = retrieve_model(outdir_in, ndim, len(data), nnmodel_in)
+                # reference main.py:255-263: fall back to shape-inferred
+                # retrieval with flat[-1,1]-padded priors when the saved
+                # checkpoint was trained with more parameters than ``init``
+                try:
+                    trainer = retrieve_model(outdir_in, ndim, len(data), nnmodel_in)
+                    pack_run, ndim_run, init_run = pack, ndim, init_white
+                except Exception:
+                    trainer, incut, _ = retrieve_model_exist(
+                        outdir_in, ndim, len(data), nnmodel_in
+                    )
+                    priors_new = list(priors) + [
+                        {"dist": "flat", "arg1": -1, "arg2": 1}
+                        for _ in range(incut - ndim)
+                    ]
+                    pack_run = P.priors_from_list(priors_new)
+                    ndim_run = incut
+                    init_run = np.concatenate(
+                        [init_white, np.zeros(incut - ndim)]
+                    )
                 log_prob = LK.make_log_prob(
                     trainer.spec,
                     trainer.params,
                     trainer.transforms,
-                    pack,
+                    pack_run,
                     data,
                     inv_cov,
                     temperature=temperature,
@@ -415,13 +478,13 @@ def ml_sampler_core(
                     external_loglike=externalloglike,
                 )
                 jitter = 0.1 if method == "emcee" else 0.001
-                x0 = init_white + jitter * rng.standard_normal((nwalkers, ndim))
+                x0 = init_run + jitter * rng.standard_normal((nwalkers, ndim_run))
                 sampler_run.run_ensemble(
                     log_prob,
                     x0,
                     outdir_in,
                     method=method,
-                    transform=lambda x: np.asarray(P.transform(pack, x)),
+                    transform=lambda x, _p=pack_run: np.asarray(P.transform(_p, x)),
                     ntimes=ntimes,
                     tautol=tautol,
                     meanshift=meanshift,

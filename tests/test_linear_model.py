@@ -1,0 +1,74 @@
+"""PCA+polynomial LinearModel (reference linna/nn.py:200-298) and the
+user-facing model-retrieval wrappers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from linna_tpu import linear_model as LM
+
+
+def test_polynomial_powers_matches_sklearn_convention():
+    p = LM.polynomial_powers(2, 2)
+    # degree-0, x0, x1, x0^2, x0*x1, x1^2
+    want = np.array([[0, 0], [1, 0], [0, 1], [2, 0], [1, 1], [0, 2]])
+    np.testing.assert_array_equal(p, want)
+
+
+def test_linear_model_recovers_polynomial():
+    """An exactly-quadratic map must be fit to machine precision."""
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (400, 3))
+    # y_i = linear combos of quadratic features, 5 outputs of rank 2
+    basis = rng.standard_normal((2, 5))
+    latent = np.stack([x[:, 0] * x[:, 1] + 0.5 * x[:, 2], x[:, 2] ** 2 - x[:, 0]], 1)
+    y = latent @ basis + 3.0
+    model = LM.fit_linear_model(x, y, norder=2)
+    pred = np.asarray(model(jnp.asarray(x, jnp.float32)))
+    np.testing.assert_allclose(pred, y, rtol=2e-3, atol=2e-3)
+
+
+def test_linear_model_single_input_and_grad():
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1, 1, (100, 2))
+    y = np.stack([x[:, 0] ** 2, x[:, 1]], 1)
+    model = LM.fit_linear_model(x, y, norder=2)
+    single = model(jnp.asarray([0.3, -0.4], jnp.float32))
+    assert single.shape == (2,)
+    g = jax.jacobian(lambda z: model(z))(jnp.asarray([0.3, -0.4], jnp.float32))
+    assert np.all(np.isfinite(np.asarray(g)))
+    # d(x0^2)/dx0 = 2*x0 = 0.6
+    np.testing.assert_allclose(float(g[0, 0]), 0.6, atol=0.02)
+
+
+def test_linear_model_npc_auto_and_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-1, 1, (200, 2))
+    y = np.stack([x[:, 0], 2 * x[:, 0], x[:, 1]], 1)  # rank 2
+    model = LM.fit_linear_model(x, y, norder=1)
+    assert model.vec.shape[0] <= 3
+    path = str(tmp_path / "lm.npz")
+    LM.save_linear_model(path, model)
+    model2 = LM.load_linear_model(path)
+    xt = jnp.asarray(x[:5], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(model(xt)), np.asarray(model2(xt)), rtol=1e-6
+    )
+
+
+def test_nn_linearmodel_composition():
+    """LinearModel plugs into apply_model as the additive pre-model
+    (reference ChtoModelv2's optional linearmodel, linna/nn.py:104-108)."""
+    from linna_tpu import nn as N
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, (50, 2)).astype(np.float32)
+    y = np.stack([x[:, 0], x[:, 1]], 1)
+    lm = LM.fit_linear_model(x, y, norder=1)
+    spec = N.make_model_spec("chto_v2", 2, 2)
+    params = N.init_model(jax.random.key(0), spec)
+    out_with = N.apply_model(spec, params, jnp.asarray(x), linearmodel=lm)
+    out_without = N.apply_model(spec, params, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(out_with - out_without), np.asarray(lm(jnp.asarray(x))), rtol=1e-4, atol=1e-5
+    )
