@@ -10,7 +10,8 @@ posterior each round.
 """
 
 from . import priors, transforms, nn, losses  # noqa: F401
-from . import data, likelihood, linear_model, pool, sample_gen, train  # noqa: F401
+from . import config, data, likelihood, linear_model, pool, sample_gen, train  # noqa: F401
+from . import driver, ops  # noqa: F401
 from . import parallel, samplers  # noqa: F401
 from .orchestrator import (  # noqa: F401
     ml_sampler,

@@ -1,0 +1,144 @@
+"""Application driver: YAML include merging, triplet covariance, masks,
+prior construction, and the CLI end to end (reference linna/cosmolike_run.py)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from linna_tpu import config as C
+from linna_tpu import driver as D
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_yaml_include_merge(tmp_path):
+    (tmp_path / "base.yaml").write_text("a: 1\nb: 2\nnested: {x: 1}\n")
+    (tmp_path / "run.yaml").write_text("include: base.yaml\nb: 3\nc: 4\n")
+    params = C.yaml_load(str(tmp_path / "run.yaml"))
+    assert params == {"a": 1, "b": 3, "c": 4, "nested": {"x": 1}}
+    # explicit parent_dir resolution (the CLI's yamldir argument)
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "run2.yaml").write_text("include: base.yaml\nd: 5\n")
+    params = C.yaml_load(str(sub / "run2.yaml"), parent_dir=str(tmp_path))
+    assert params["a"] == 1 and params["d"] == 5
+
+
+def test_read_triplet_cov_symmetrizes_and_clips():
+    rows = np.array(
+        [
+            [0, 0, 1.0, 0.5],
+            [0, 1, 0.1, 0.0],
+            [1, 1, 2.0, 0.0],
+            [2, 2, 1e11, 0.0],  # clipped to 0
+        ]
+    )
+    cov = D.read_triplet_cov(rows)
+    assert cov.shape == (3, 3)
+    assert cov[0, 0] == 1.5 and cov[0, 1] == 0.1 and cov[1, 0] == 0.1
+    assert cov[2, 2] == 0.0
+
+
+def test_align_mask():
+    m = np.array([True, False, True])
+    np.testing.assert_array_equal(D.align_mask(m, 2), [True, False])
+    np.testing.assert_array_equal(
+        D.align_mask(m, 5), [True, False, True, False, False]
+    )
+
+
+def test_priors_and_init_from_config():
+    params = {
+        "sampled_params": [
+            {"param": "om", "dist": "gauss", "arg1": 0.3, "arg2": 0.02},
+            {"param": "s8", "dist": "flat", "arg1": 0.6, "arg2": 1.0},
+            {"param": "w", "dist": "flat", "arg1": -2.0, "arg2": 0.0, "fid": -1.0},
+        ]
+    }
+    priors, init = D.priors_and_init_from_config(params)
+    assert [p["dist"] for p in priors] == ["gauss", "flat", "flat"]
+    np.testing.assert_allclose(init, [0.3, 0.8, -1.0])
+
+
+def test_resolve_theory_errors():
+    with pytest.raises(KeyError):
+        D.resolve_theory({})
+    with pytest.raises(ValueError):
+        D.resolve_theory({"theory": "no_colon_here"})
+    with pytest.raises(ModuleNotFoundError):
+        D.resolve_theory({"theory": "definitely.not.a.module:f"})
+
+
+def test_model_func_caches_and_masks(tmp_path):
+    calls = []
+
+    def writer(params, outfile):
+        calls.append(1)
+        np.savetxt(outfile, np.stack([np.arange(4), np.asarray(params)], 1))
+
+    mf = D.ModelFunc(writer, np.array([True, True, False, True]))
+    out1 = mf([0, np.array([1.0, 2.0, 3.0, 4.0])], str(tmp_path))
+    np.testing.assert_allclose(out1, [1.0, 2.0, 4.0])
+    out2 = mf([0, np.array([9.0, 9.0, 9.0, 9.0])], str(tmp_path))  # cached
+    np.testing.assert_allclose(out2, out1)
+    assert len(calls) == 1
+
+    def bad_writer(params, outfile):
+        raise RuntimeError("theory exploded")
+
+    mf_bad = D.ModelFunc(bad_writer, np.array([True, True, False, True]))
+    out3 = mf_bad([1, np.zeros(4)], str(tmp_path))
+    np.testing.assert_allclose(out3, np.zeros(3))  # zeros on failure
+
+
+@pytest.mark.slow
+def test_driver_cli_end_to_end(tmp_path):
+    """The full CLI surface: generate inputs, write configs, run
+    ``python -m linna_tpu.driver`` as a user would."""
+    inputs = tmp_path / "inputs"
+    inputs.mkdir()
+    means = np.array([0.3, -0.2])
+    np.savetxt(inputs / "data.txt", np.stack([np.arange(2), means], 1))
+    np.savetxt(
+        inputs / "cov_triplet.txt",
+        np.array([[0, 0, 0.0, 0.3], [1, 1, 0.25, 0.25]]),
+    )
+    (tmp_path / "base.yaml").write_text(
+        "nwalkers: 8\nnnmodel: chto_v2\ntrainingoption: 1\n"
+        "num_epochs: 30\nbatch_size: 16\nntrainArr: [60]\nnvalArr: [15]\n"
+        "nkeepArr: [2]\nntimesArr: [2]\nntautolArr: [0.5]\n"
+        "meanshiftArr: [100]\nstdshiftArr: [100]\ntemperatureArr: [1.0]\nseed: 7\n"
+    )
+    (tmp_path / "run.yaml").write_text(
+        "include: base.yaml\n"
+        f"outdir: {tmp_path}/out\n"
+        "theory: identity\n"
+        f"base_dir: {inputs}\n"
+        "data_file: data.txt\ncov_file: cov_triplet.txt\n"
+        "sampled_params:\n"
+        "  - {param: x0, dist: flat, arg1: -2.0, arg2: 2.0}\n"
+        "  - {param: x1, dist: flat, arg1: -2.0, arg2: 2.0}\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, "-m", "linna_tpu.driver", "emcee", "None",
+         str(tmp_path / "run.yaml"), str(tmp_path)],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = tmp_path / "out"
+    assert (out / "time.npy").exists()
+    assert (out / "iter_0" / "chemcee_256.h5").exists()
+
+
+def test_driver_cli_usage_error():
+    proc = subprocess.run(
+        [sys.executable, "-m", "linna_tpu.driver"],
+        capture_output=True, text=True, timeout=120,
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO),
+    )
+    assert proc.returncode == 2
+    assert "usage" in proc.stderr
