@@ -41,6 +41,7 @@ from . import sample_gen as SG
 from . import transforms as T
 from .samplers import backends, convergence, run as sampler_run
 from .train import BEST_CKPT, Trainer
+from .utils.trace import PhaseTimer, device_profile
 
 __all__ = [
     "ml_sampler",
@@ -171,6 +172,34 @@ def train_emulator(
 def _write_finish(path: str) -> None:
     with open(path, "w") as f:
         json.dump({"status": "done"}, f)
+
+
+def _train_in_subprocess(
+    outdir_in, outdir_list, data, cov, sigma, dolog10index, ypositive,
+    model_name, params, usebest, verbose,
+) -> None:
+    """Serialize the request and run ``python -m linna_tpu.train_entry``
+    (the reference's GPU-process handoff, pickle-free)."""
+    import subprocess
+    import sys as _sys
+
+    from . import train_entry as TE
+
+    if os.path.isfile(os.path.join(outdir_in, FINISH_MARKER)):
+        return
+    TE.write_request(
+        outdir_in, outdir_list, data, cov, sigma, dolog10index, ypositive,
+        model_name, params, usebest,
+    )
+    cmd = [_sys.executable, "-m", "linna_tpu.train_entry", outdir_in]
+    if verbose:
+        cmd.append("--verbose")
+    proc = subprocess.run(cmd, capture_output=not verbose)
+    if proc.returncode != 0:
+        tail = (proc.stderr or b"").decode(errors="replace")[-2000:]
+        raise RuntimeError(f"training subprocess failed:\n{tail}")
+    if not os.path.isfile(os.path.join(outdir_in, FINISH_MARKER)):
+        raise RuntimeError("training subprocess exited without finish marker")
 
 
 def retrieve_model(
@@ -372,6 +401,7 @@ def ml_sampler_core(
     is_master = pool is None or pool.is_master()
 
     options = int(params.get("trainingoption", 0))
+    timer = PhaseTimer(outdir if is_master else None)
     rng = np.random.default_rng(seed)
     chain = None
     for i, (nt, nv, nk, ntimes, tautol, temperature, meanshift, stdshift) in enumerate(
@@ -408,40 +438,53 @@ def ml_sampler_core(
             chain, _, _ = read_chain_and_cut(prev, nk, ntimes, method=method)
 
         nnsampler = SG.NNSampler(outdir_in, prior_range)
-        SG.generate_training_point(
-            theory,
-            nnsampler,
-            pool,
-            outdir_in,
-            nt,
-            nv,
-            data,
-            inv_cov,
-            chain,
-            nsigma=nsigma,
-            omegab2cut=omegab2cut,
-            options=options,
-            negloglike=negloglike,
-            nbest_in=nbest_in,
-            chisqcut=chisqcut,
-        )
+        with timer.phase("generate_training_point", iteration=i, n=nt + nv):
+            SG.generate_training_point(
+                theory,
+                nnsampler,
+                pool,
+                outdir_in,
+                nt,
+                nv,
+                data,
+                inv_cov,
+                chain,
+                nsigma=nsigma,
+                omegab2cut=omegab2cut,
+                options=options,
+                negloglike=negloglike,
+                nbest_in=nbest_in,
+                chisqcut=chisqcut,
+            )
         chain = None
 
         if is_master:
             outdir_list = [os.path.join(outdir, f"iter_{m}/") for m in range(i + 1)]
-            train_emulator(
-                outdir_in,
-                outdir_list,
-                data,
-                cov,
-                sigma,
-                dolog10index,
-                ypositive,
-                nnmodel_in,
-                params,
-                usebest=nbest_in is not None,
-                verbose=verbose,
-            )
+            with timer.phase("train_emulator", iteration=i), device_profile(
+                f"train_iter{i}"
+            ):
+                if params.get("train_subprocess"):
+                    # process-separated mode (reference train_gpu.py handoff,
+                    # linna/main.py:186-252) — crash isolation / CLI parity
+                    _train_in_subprocess(
+                        outdir_in, outdir_list, data, cov, sigma,
+                        dolog10index, ypositive, nnmodel_in, params,
+                        usebest=nbest_in is not None, verbose=verbose,
+                    )
+                else:
+                    train_emulator(
+                        outdir_in,
+                        outdir_list,
+                        data,
+                        cov,
+                        sigma,
+                        dolog10index,
+                        ypositive,
+                        nnmodel_in,
+                        params,
+                        usebest=nbest_in is not None,
+                        verbose=verbose,
+                    )
 
             # skip MCMC when this iteration's chain already exists
             # (linna/main.py:273-274 file gating)
@@ -479,20 +522,25 @@ def ml_sampler_core(
                 )
                 jitter = 0.1 if method == "emcee" else 0.001
                 x0 = init_run + jitter * rng.standard_normal((nwalkers, ndim_run))
-                sampler_run.run_ensemble(
-                    log_prob,
-                    x0,
-                    outdir_in,
-                    method=method,
-                    transform=lambda x, _p=pack_run: np.asarray(P.transform(_p, x)),
-                    ntimes=ntimes,
-                    tautol=tautol,
-                    meanshift=meanshift,
-                    stdshift=stdshift,
-                    nk=nk,
-                    seed=seed + i,
-                    progress=verbose,
-                )
+                with timer.phase("mcmc", iteration=i, method=method), device_profile(
+                    f"mcmc_iter{i}"
+                ):
+                    sampler_run.run_ensemble(
+                        log_prob,
+                        x0,
+                        outdir_in,
+                        method=method,
+                        transform=lambda x, _p=pack_run: np.asarray(
+                            P.transform(_p, x)
+                        ),
+                        ntimes=ntimes,
+                        tautol=tautol,
+                        meanshift=meanshift,
+                        stdshift=stdshift,
+                        nk=nk,
+                        seed=seed + i,
+                        progress=verbose,
+                    )
 
     # final chain
     last = os.path.join(outdir, f"iter_{len(ntrainArr)-1}/", filename)

@@ -40,6 +40,7 @@ from . import losses as L
 from . import nn as N
 from .transforms import TransformSet
 from .utils import checkpoint as ckpt
+from .utils import plots
 
 __all__ = ["EarlyStopping", "Trainer", "lr_range_test"]
 
@@ -385,6 +386,24 @@ class Trainer:
             told = loss
             self._save(i, is_best)
 
+            # training_progress.png every 100 epochs
+            # (linna/predictor_gpu.py:422-442)
+            if self.outdir is not None and i % 100 == 0 and i > 0:
+                plots.plot_training_progress(
+                    train_losses, val_metrics,
+                    os.path.join(self.outdir, "training_progress.png"),
+                    batches_per_epoch=max(len(batch_losses), 1),
+                )
+
+        if self.outdir is not None:
+            # final summary plot; reference filename kept (linna/util.py:1288)
+            plots.plot_training_progress(
+                train_losses, val_metrics,
+                os.path.join(self.outdir, "trainniing.png"),
+                batches_per_epoch=max(
+                    int(train_x.shape[0]) // self._batch_size, 1
+                ),
+            )
         return np.array(train_losses), np.array(val_metrics)
 
     # ------------------------------------------------------------- inference
@@ -465,4 +484,6 @@ def lr_range_test(
     if outdir is not None:
         os.makedirs(outdir, exist_ok=True)
         np.save(os.path.join(outdir, "lr.npy"), lr)
+        # reference's LRFinder diagnostic (linna/predictor_gpu.py:230)
+        plots.plot_lr_range(lrs, losses, os.path.join(outdir, "lr_tunning.png"))
     return lr

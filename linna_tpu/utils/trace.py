@@ -1,0 +1,78 @@
+"""Per-phase tracing and device profiling.
+
+The reference's only timing is one wall-clock number around the whole run
+(reference linna/cosmolike_run.py:169-170,321-323 -> ``time.npy``) plus tqdm
+bars.  Here every pipeline phase is timed from the start (SURVEY §5.1):
+
+- :class:`PhaseTimer` accumulates named phase durations and appends them to
+  ``<outdir>/trace.json`` so a crashed-and-resumed run keeps its history;
+- :func:`device_profile` wraps ``jax.profiler.trace`` for TensorBoard-grade
+  XLA traces, switched on with ``LINNA_PROFILE=<dir>``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from typing import Dict, Iterator, List, Optional
+
+__all__ = ["PhaseTimer", "device_profile"]
+
+TRACE_FILE = "trace.json"
+
+
+class PhaseTimer:
+    """Accumulate named phase wall times; persist as JSON lines-style list."""
+
+    def __init__(self, outdir: Optional[str] = None):
+        self.outdir = outdir
+        self.records: List[Dict] = []
+
+    @contextlib.contextmanager
+    def phase(self, name: str, **meta) -> Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            rec = {"phase": name, "seconds": time.perf_counter() - t0,
+                   "t_end": time.time(), **meta}
+            self.records.append(rec)
+            self._flush(rec)
+
+    def _flush(self, rec: Dict) -> None:
+        if self.outdir is None:
+            return
+        try:
+            os.makedirs(self.outdir, exist_ok=True)
+            path = os.path.join(self.outdir, TRACE_FILE)
+            existing = []
+            if os.path.isfile(path):
+                with open(path) as f:
+                    existing = json.load(f)
+            existing.append(rec)
+            with open(path, "w") as f:
+                json.dump(existing, f, indent=1)
+        except OSError:
+            pass
+
+    def summary(self) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        for r in self.records:
+            out[r["phase"]] = out.get(r["phase"], 0.0) + r["seconds"]
+        return out
+
+
+@contextlib.contextmanager
+def device_profile(label: str = "linna") -> Iterator[None]:
+    """XLA device profile via ``jax.profiler.trace`` when the env var
+    ``LINNA_PROFILE`` names a trace directory; no-op otherwise."""
+    trace_dir = os.environ.get("LINNA_PROFILE")
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(os.path.join(trace_dir, label)):
+        yield

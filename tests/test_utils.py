@@ -1,0 +1,125 @@
+"""Aux subsystems: metrics/logging helpers, phase tracing, diagnostic plots
+(reference linna/nnutils.py; SURVEY §5.1/5.5)."""
+
+import json
+import os
+
+import numpy as np
+
+from linna_tpu.utils import (
+    Params,
+    PhaseTimer,
+    RunningAverage,
+    device_profile,
+    save_dict_to_json,
+    set_logger,
+)
+from linna_tpu.utils import plots
+
+
+def test_params_roundtrip(tmp_path):
+    p = tmp_path / "p.json"
+    p.write_text('{"learning_rate": 0.1, "epochs": 5}')
+    params = Params(str(p))
+    assert params.learning_rate == 0.1
+    params.learning_rate = 0.5
+    params.save(str(p))
+    assert Params(str(p)).dict == {"learning_rate": 0.5, "epochs": 5}
+
+
+def test_running_average():
+    ra = RunningAverage()
+    ra.update(2)
+    ra.update(4)
+    assert ra() == 3
+
+
+def test_save_dict_to_json_and_logger(tmp_path):
+    path = tmp_path / "m.json"
+    save_dict_to_json({"a": np.float32(1.5), "b": 2}, str(path))
+    assert json.loads(path.read_text()) == {"a": 1.5, "b": 2.0}
+    set_logger(str(tmp_path / "train.log"))  # must not raise
+
+
+def test_phase_timer_persists_and_accumulates(tmp_path):
+    t = PhaseTimer(str(tmp_path))
+    with t.phase("train", iteration=0):
+        pass
+    with t.phase("train", iteration=1):
+        pass
+    with t.phase("mcmc"):
+        pass
+    trace = json.loads((tmp_path / "trace.json").read_text())
+    assert [r["phase"] for r in trace] == ["train", "train", "mcmc"]
+    assert set(t.summary()) == {"train", "mcmc"}
+    # resume: a fresh timer appends rather than truncates
+    t2 = PhaseTimer(str(tmp_path))
+    with t2.phase("mcmc"):
+        pass
+    assert len(json.loads((tmp_path / "trace.json").read_text())) == 4
+
+
+def test_device_profile_noop_without_env(monkeypatch):
+    monkeypatch.delenv("LINNA_PROFILE", raising=False)
+    with device_profile("x"):
+        pass
+
+
+def test_plots_write_files(tmp_path):
+    lr_path = str(tmp_path / "lr.png")
+    plots.plot_lr_range(np.geomspace(1e-4, 1e-2, 20), np.random.rand(20), lr_path)
+    prog_path = str(tmp_path / "prog.png")
+    plots.plot_training_progress(
+        np.random.rand(50), np.random.rand(10, 3), prog_path, batches_per_epoch=5
+    )
+    assert os.path.isfile(lr_path) and os.path.isfile(prog_path)
+
+
+def test_pipeline_writes_trace_and_plots(tmp_path):
+    """End-to-end: the orchestrator must leave trace.json and the training
+    diagnostics behind (artifact contract incl. reference's plot names)."""
+    from linna_tpu import ml_sampler_core
+
+    outdir = str(tmp_path / "out")
+    ml_sampler_core(
+        ntrainArr=[25], nvalArr=[6], nkeepArr=[1], ntimesArr=[2],
+        ntautolArr=[0.5], meanshiftArr=[100], stdshiftArr=[100],
+        outdir=outdir,
+        theory=lambda x, o: np.asarray(x[1], np.float64).copy(),
+        priors=[{"param": "a", "dist": "flat", "arg1": -2.0, "arg2": 2.0}] * 2,
+        data=np.array([0.1, 0.5]), cov=np.diag([0.3, 0.2]),
+        init=np.zeros(2), pool=None, nwalkers=4, temperatureArr=[1.0],
+        params={"trainingoption": 1, "num_epochs": 8, "batch_size": 8},
+        method="emcee", seed=5,
+    )
+    trace = json.loads(open(os.path.join(outdir, "trace.json")).read())
+    phases = {r["phase"] for r in trace}
+    assert {"generate_training_point", "train_emulator", "mcmc"} <= phases
+    assert os.path.isfile(os.path.join(outdir, "iter_0", "lr_tunning.png"))
+    assert os.path.isfile(os.path.join(outdir, "iter_0", "trainniing.png"))
+
+
+def test_pipeline_train_subprocess_mode(tmp_path):
+    """params['train_subprocess'] routes training through the
+    'python -m linna_tpu.train_entry' process (reference train_gpu.py
+    handoff) and the pipeline completes identically."""
+    from linna_tpu import ml_sampler_core
+
+    outdir = str(tmp_path / "out")
+    chain, _ = ml_sampler_core(
+        ntrainArr=[25], nvalArr=[6], nkeepArr=[1], ntimesArr=[2],
+        ntautolArr=[0.5], meanshiftArr=[100], stdshiftArr=[100],
+        outdir=outdir,
+        theory=lambda x, o: np.asarray(x[1], np.float64).copy(),
+        priors=[{"param": "a", "dist": "flat", "arg1": -2.0, "arg2": 2.0}] * 2,
+        data=np.array([0.1, 0.5]), cov=np.diag([0.3, 0.2]),
+        init=np.zeros(2), pool=None, nwalkers=4, temperatureArr=[1.0],
+        params={"trainingoption": 1, "num_epochs": 8, "batch_size": 8,
+                "train_subprocess": True},
+        method="emcee", seed=5,
+    )
+    assert len(chain) > 0
+    it0 = os.path.join(outdir, "iter_0")
+    assert os.path.isfile(os.path.join(it0, "train_request.json"))
+    assert os.path.isfile(os.path.join(it0, "finish.json"))
+    assert os.path.isfile(os.path.join(it0, "best.ckpt.npz"))
