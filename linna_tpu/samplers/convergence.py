@@ -15,7 +15,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["autocorr_function_1d", "integrated_time", "check_mean_std"]
+__all__ = [
+    "autocorr_function_1d",
+    "integrated_time",
+    "check_mean_std",
+    "gelman_rubin",
+]
 
 
 def _next_pow_two(n: int) -> int:
@@ -84,3 +89,27 @@ def check_mean_std(samples: np.ndarray, meanshift: float, stdshift: float) -> bo
     )
     std_shift = np.median((np.std(first, axis=0) - std2) / std2)
     return bool((mean_shift < meanshift) & (std_shift < stdshift))
+
+
+def gelman_rubin(chain: np.ndarray, split: bool = True) -> np.ndarray:
+    """Split-chain potential scale reduction R-hat per parameter
+    (Gelman & Rubin 1992 with the rank-free split variant).
+
+    Not in the reference (its criteria are tau + split-half shifts); added
+    because the north-star metric is wall-clock to R-1 < 0.01
+    (BASELINE.md).  ``chain`` is (nsteps, nwalkers, ndim); each walker is a
+    chain, optionally split in half to detect trends.
+    """
+    chain = np.asarray(chain, dtype=np.float64)
+    if chain.ndim != 3:
+        raise ValueError("chain must be (nsteps, nwalkers, ndim)")
+    if split:
+        half = chain.shape[0] // 2
+        chain = np.concatenate([chain[:half], chain[half : 2 * half]], axis=1)
+    n, m, _ = chain.shape
+    chain_means = np.mean(chain, axis=0)  # (m, d)
+    grand_mean = np.mean(chain_means, axis=0)
+    b = n / (m - 1) * np.sum((chain_means - grand_mean) ** 2, axis=0)
+    w = np.mean(np.var(chain, axis=0, ddof=1), axis=0)
+    var_hat = (n - 1) / n * w + b / n
+    return np.sqrt(var_hat / w)

@@ -1,0 +1,71 @@
+"""The reference README's canonical configuration: a 33-dimensional Gaussian
+with identity theory (reference README.rst:58-91) — posterior-moment parity
+plus R-hat on the final chain.  Scaled-down schedule (2 iterations) for CI;
+the production 4-iteration schedule tightens parity to sub-0.1 sigma."""
+
+import numpy as np
+import pytest
+
+from linna_tpu import ml_sampler_core
+from linna_tpu.samplers import convergence
+
+NDIM = 33
+
+
+@pytest.mark.slow
+def test_gaussian33_posterior_parity(tmp_path):
+    rng = np.random.default_rng(42)
+    means = rng.uniform(size=NDIM)
+    cov = np.diag(0.1 * rng.uniform(size=NDIM) + 0.02)
+    init = rng.uniform(size=NDIM)
+    priors = [
+        {"param": f"test_{i}", "dist": "flat", "arg1": -5.0, "arg2": 5.0}
+        for i in range(NDIM)
+    ]
+
+    def theory(x, outdirs):
+        return np.asarray(x[1], dtype=np.float64).copy()
+
+    chain, logprob = ml_sampler_core(
+        ntrainArr=[1200, 1200],
+        nvalArr=[200, 200],
+        nkeepArr=[2, 6],
+        ntimesArr=[8, 15],
+        ntautolArr=[0.2, 0.1],
+        meanshiftArr=[0.5, 0.3],
+        stdshiftArr=[0.5, 0.3],
+        outdir=str(tmp_path / "out"),
+        theory=theory,
+        priors=priors,
+        data=means,
+        cov=cov,
+        init=init,
+        pool=None,
+        nwalkers=66,  # 2*ndim walkers
+        temperatureArr=[2.0, 1.0],
+        params={"trainingoption": 1, "num_epochs": 400, "batch_size": 200},
+        method="emcee",
+        seed=42,
+    )
+    sig = np.sqrt(np.diag(cov))
+    mean_err = np.abs(chain.mean(axis=0) - means) / sig
+    std_ratio = chain.std(axis=0) / sig
+    # parity: median over params well inside 0.2 sigma, no catastrophic dim
+    assert np.median(mean_err) < 0.2, np.sort(mean_err)[-5:]
+    assert np.max(mean_err) < 0.75, np.sort(mean_err)[-5:]
+    assert 0.75 < np.median(std_ratio) < 1.25, np.sort(std_ratio)
+
+
+def test_gelman_rubin_analytic():
+    rng = np.random.default_rng(0)
+    # stationary chains -> R ~ 1
+    good = rng.standard_normal((2000, 8, 3))
+    r = convergence.gelman_rubin(good)
+    assert np.all(r < 1.02), r
+    # diverged chains (different means per walker) -> R >> 1
+    bad = good + np.arange(8)[None, :, None] * 2.0
+    r_bad = convergence.gelman_rubin(bad)
+    assert np.all(r_bad > 1.5), r_bad
+    # within-chain trend caught by splitting
+    trend = rng.standard_normal((2000, 8, 1)) + np.linspace(0, 6, 2000)[:, None, None]
+    assert np.all(convergence.gelman_rubin(trend) > 1.2)
