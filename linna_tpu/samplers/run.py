@@ -68,6 +68,7 @@ def run_ensemble(
     n_leapfrog: int = 10,
     max_depth: int = 5,
     m_adapt: int = 100,
+    shard_walkers: bool = True,
     progress: bool = False,
 ):
     """Sample until converged; returns the backend holding the chain.
@@ -127,17 +128,29 @@ def run_ensemble(
     elif resume and method in GRADIENT_METHODS:
         x0 = np.asarray(precond.to_sampling(x0), dtype=np.float32)
 
+    x0_dev = jnp.asarray(x0)
+    if shard_walkers and jax.device_count() > 1 and nwalkers % (2 * jax.device_count()) == 0:
+        # spread the ensemble over every chip: each half-ensemble update
+        # becomes a data-parallel batch; GSPMD keeps the gather of stretch
+        # partners / slice directions on ICI
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        mesh = Mesh(np.asarray(jax.devices()), ("walkers",))
+        x0_dev = jax.device_put(
+            x0_dev, NamedSharding(mesh, PartitionSpec("walkers", None))
+        )
+
     key, skey = jax.random.split(key)
     if method == "emcee":
-        state = stretch.init_state(skey, jnp.asarray(x0), log_prob_fn)
+        state = stretch.init_state(skey, x0_dev, log_prob_fn)
     elif method == "hmc":
-        state = hmc.init_hmc_state(skey, jnp.asarray(x0), log_prob_fn)
+        state = hmc.init_hmc_state(skey, x0_dev, log_prob_fn)
     elif method == "nuts":
         state = hmc.init_nuts_state(
-            skey, jnp.asarray(x0), log_prob_fn, m_adapt=m_adapt
+            skey, x0_dev, log_prob_fn, m_adapt=m_adapt
         )
     else:
-        state = slicemove.init_slice_state(skey, jnp.asarray(x0), log_prob_fn)
+        state = slicemove.init_slice_state(skey, x0_dev, log_prob_fn)
 
     old_tau = np.inf
     prev_accepted = np.zeros(nwalkers)

@@ -129,3 +129,26 @@ def test_param_shardings_cover_tree(mesh):
     flat_p = jax.tree_util.tree_leaves_with_path(params)
     flat_s = jax.tree_util.tree_leaves_with_path(sh)
     assert len(flat_p) == len(flat_s)
+
+
+def test_run_ensemble_sharded_walkers(tmp_path):
+    """run_ensemble auto-shards the ensemble over all 8 virtual devices and
+    still produces a valid resumable chain."""
+    import jax.numpy as jnp
+    from linna_tpu.samplers import run as sampler_run
+
+    def log_prob(x):
+        return -0.5 * jnp.sum((x - 0.5) ** 2, axis=-1)
+
+    x0 = np.asarray(
+        0.1 * np.random.default_rng(1).standard_normal((32, 3)), np.float32
+    )
+    backend = sampler_run.run_ensemble(
+        log_prob, x0, str(tmp_path), method="emcee",
+        ntimes=3, tautol=0.5, meanshift=1.0, stdshift=1.0,
+        check_every=50, max_iterations=300, seed=1, shard_walkers=True,
+    )
+    chain = backend.get_chain()
+    assert chain.shape[1:] == (32, 3)
+    flat = chain[len(chain) // 2:].reshape(-1, 3)
+    np.testing.assert_allclose(flat.mean(axis=0), [0.5] * 3, atol=0.2)
