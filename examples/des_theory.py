@@ -1,0 +1,59 @@
+"""Synthetic DES-Y1-3x2pt-shaped theory plugin: 27 parameters -> 457-point
+data vector.
+
+Stands in for the external cosmolike C library (reference
+cosmolike_run.py:27) with the same interface scale and smoothness
+characteristics: the vector is a set of power-law-like "angular" templates
+whose amplitudes/tilts respond nonlinearly to the parameters, so the
+emulator has to learn genuine parameter->data-vector structure.
+
+Used by examples/des_synthetic.yaml via ``theory: examples.des_theory:make_theory``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+NDIM = 27
+NDATA = 457
+N_TEMPLATES = 12
+
+
+def _bases(seed: int = 2026):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0.0, 1.0, NDATA)
+    # smooth log-spaced templates (power laws + oscillatory pieces)
+    slopes = rng.uniform(-1.5, 1.5, N_TEMPLATES)
+    phases = rng.uniform(0, 2 * np.pi, N_TEMPLATES)
+    freqs = rng.uniform(1.0, 6.0, N_TEMPLATES)
+    templates = np.stack(
+        [
+            (1.0 + t) ** slopes[k] * (1.0 + 0.3 * np.sin(freqs[k] * np.pi * t + phases[k]))
+            for k in range(N_TEMPLATES)
+        ]
+    )  # (K, NDATA)
+    # parameter coupling matrices
+    lin = rng.standard_normal((N_TEMPLATES, NDIM)) * 0.5
+    quad = rng.standard_normal((N_TEMPLATES, NDIM)) * 0.15
+    return templates, lin, quad
+
+
+_TEMPLATES, _LIN, _QUAD = _bases()
+
+
+def data_vector(x: np.ndarray) -> np.ndarray:
+    """Deterministic smooth nonlinear map R^27 -> R^457."""
+    x = np.asarray(x, dtype=np.float64)
+    amps = _LIN @ x + _QUAD @ (x * x) + 0.2 * np.tanh(3.0 * (_LIN @ x))
+    return amps @ _TEMPLATES / np.sqrt(N_TEMPLATES)
+
+
+def make_theory(params: dict):
+    def theory(x, outdirs):
+        return data_vector(x[1])
+
+    return theory
+
+
+def fiducial() -> np.ndarray:
+    return np.zeros(NDIM)

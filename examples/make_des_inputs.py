@@ -1,0 +1,28 @@
+"""Generate data/cov inputs for the synthetic DES-shaped run
+(examples/des_synthetic.yaml)."""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from examples import des_theory as T
+
+outdir = "/tmp/linna_des_inputs"
+os.makedirs(outdir, exist_ok=True)
+fid = T.fiducial()
+truth = T.data_vector(fid + 0.05)  # "observed" universe slightly off-fiducial
+sigma = 0.05 * (np.abs(truth) + 0.1)
+rng = np.random.default_rng(1)
+data = truth + rng.standard_normal(T.NDATA) * sigma
+np.savetxt(os.path.join(outdir, "data.txt"),
+           np.stack([np.arange(T.NDATA), data], 1))
+# banded covariance with short-range correlations (triplet format)
+rows = []
+for i in range(T.NDATA):
+    rows.append([i, i, 0.0, sigma[i] ** 2])
+    if i + 1 < T.NDATA:
+        rows.append([i, i + 1, 0.0, 0.25 * sigma[i] * sigma[i + 1]])
+np.savetxt(os.path.join(outdir, "cov_triplet.txt"), np.asarray(rows))
+print("wrote", outdir)
