@@ -61,6 +61,7 @@ def run_ensemble(
     nk: float = 2,
     check_every: int = 100,
     max_iterations: int = 100_000,
+    tau_window: int = 20_000,
     seed: int = 0,
     a: float = 2.0,
     slice_max_steps: int = 100,
@@ -204,8 +205,13 @@ def run_ensemble(
         n_chunks_done += 1
 
         full_chain = np.concatenate(chain_parts)
+        # Cap the autocorrelation estimation window: the FFT cost per check
+        # grows O(n log n) with chain length, and tau estimated over the most
+        # recent ``tau_window`` steps is what the stationarity criteria need
+        # anyway (the tau*ntimes < iteration test still uses the full count).
+        tau_chain = full_chain[-tau_window:]
         if method != "zeus":
-            tau = convergence.integrated_time(full_chain)
+            tau = convergence.integrated_time(tau_chain)
             if np.isnan(np.sum(tau)) and iteration > 10:
                 break
             converged = bool(np.all(tau * ntimes < iteration))
@@ -218,7 +224,7 @@ def run_ensemble(
             # zeus path: scalar mean tau over the chain minus 20% burn-in
             # (linna/sampler.py:682-691, discard=0.2)
             tau_arr = convergence.integrated_time(
-                full_chain[int(0.2 * iteration) :]
+                full_chain[int(0.2 * len(full_chain)) :][-tau_window:]
             )
             tau = float(np.mean(tau_arr))
             converged = tau * ntimes < iteration

