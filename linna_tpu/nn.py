@@ -3,10 +3,11 @@
 The production emulator mirrors the reference's ``ChtoModelv2`` topology and
 initialization exactly (reference linna/nn.py:59-133: input linear -> three
 width-halving residual blocks with narrow inner channels -> two linear layers
-with ReLU -> output linear; Xavier-uniform weights, all biases 1e-2, residual
-skip projections initialized to zero so each block starts as ReLU(0.1*f(x))),
-because the training dynamics (zero-init skips, 0.1 residual scaling) are part
-of the behavior contract.  The implementation is a plain parameter-dict pytree
+with ReLU -> output linear; Xavier-uniform weights everywhere incl. the
+residual skip projections — see ``_init_resblock`` for why the reference's
+apparent zero-skip init is overwritten — and all biases 1e-2), because the
+training dynamics (init scheme, 0.1 residual scaling) are part of the
+behavior contract.  The implementation is a plain parameter-dict pytree
 with a pure ``apply`` — no module framework — so it composes freely with
 ``jit``/``vmap``/``grad``/``shard_map`` and the whole forward pass is one
 fused XLA computation on the MXU (batched matmuls, f32 accumulation).
@@ -95,12 +96,22 @@ def _init_linear(key, fan_in: int, fan_out: int, bias: bool = True) -> Params:
 
 def _init_resblock(key, in_size: int, channel: int, out_size: int) -> Params:
     """Residual block params (reference linna/nn.py:11-43): two biased linears
-    plus a bias-free skip projection initialized to exactly zero."""
-    k1, k2 = jax.random.split(key)
+    plus a bias-free skip projection.
+
+    Skip init: the reference's ResBlock zeroes the skip
+    (linna/nn.py:43), but ``ChtoModelv2.init_weight`` then walks
+    ``self.modules()`` in pre-order and re-initializes every ``nn.Linear`` —
+    including each block's ``skip_layer`` — to Xavier-uniform
+    (linna/nn.py:91-99 visits the parent ResBlock first, its children
+    after).  The effective production init is therefore **Xavier** skips;
+    zero-init skips leave each ReLU-capped block near-dead and the trunk
+    untrainable (measured: MSE plateau at 30% unexplained variance on a
+    purely linear 33->33 target)."""
+    k1, k2, k3 = jax.random.split(key, 3)
     return {
         "lin1": _init_linear(k1, in_size, channel),
         "lin2": _init_linear(k2, channel, out_size),
-        "skip_w": jnp.zeros((in_size, out_size), dtype=jnp.float32),
+        "skip_w": _xavier_uniform(k3, in_size, out_size),
     }
 
 

@@ -236,7 +236,9 @@ class Trainer:
         run) or ``best.ckpt.npz`` (linna/predictor_gpu.py:451-459)."""
         best_mem = getattr(self, "_best_params_mem", None)
         if best_mem is not None:
-            self.params = best_mem
+            # hand out a copy: self.params gets donated into _epoch, which
+            # would otherwise invalidate the stored best
+            self.params = jax.tree.map(jnp.copy, best_mem)
             return True
         if self.outdir is None:
             return False

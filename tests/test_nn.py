@@ -36,8 +36,15 @@ def test_init_values():
     params = N.init_model(jax.random.key(0), spec)
     # biases all 1e-2 (linna/nn.py:42,99)
     npt.assert_allclose(np.asarray(params["layer1"]["b"]), 1e-2)
-    # skip weights exactly zero (linna/nn.py:43)
-    npt.assert_array_equal(np.asarray(params["rb1"]["skip_w"]), 0.0)
+    # skip weights Xavier, NOT zero: ChtoModelv2.init_weight re-initializes
+    # every nn.Linear incl. each skip_layer after the block zeroed it
+    # (linna/nn.py:91-99 walks modules() parent-first) — the effective
+    # production init is Xavier
+    skip = np.asarray(params["rb1"]["skip_w"])
+    assert np.any(skip != 0.0)
+    h = params["layer1"]["w"].shape[1]
+    skip_limit = np.sqrt(6.0 / (h + h // 2))
+    assert np.all(np.abs(skip) <= skip_limit)
     # xavier bound respected
     w = np.asarray(params["layer1"]["w"])
     limit = np.sqrt(6.0 / (3 + 32))
@@ -57,9 +64,9 @@ def test_forward_shapes_and_batching():
     npt.assert_allclose(np.asarray(yb[0]), np.asarray(y1), rtol=1e-4, atol=1e-6)
 
 
-def test_zero_skip_makes_block_residual_free_at_init():
-    """At init, skip=0 so resblock output = relu(0.1 * lin2(relu(lin1(x))));
-    with all-positive input, the network still produces finite output."""
+def test_block_finite_at_init():
+    """Resblock output = relu(0.1 * lin2(relu(lin1(x))) + skip(x));
+    the network produces finite output at init."""
     spec = N.make_model_spec("chto_simple", 2, 3)
     params = N.init_model(jax.random.key(2), spec)
     y = N.apply_model(spec, params, jnp.asarray([[0.3, -0.5]]))

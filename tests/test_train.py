@@ -115,3 +115,32 @@ def test_checkpoint_roundtrip(tmp_path):
     loaded, _, meta = C.load_checkpoint(path, tree)
     npt.assert_array_equal(np.asarray(loaded["a"]), np.asarray(tree["a"]))
     assert meta["epoch"] == 3
+
+
+def test_load_best_survives_donation(tmp_path):
+    """load_best hands out a copy: self.params is donated into the jitted
+    epoch, which must not invalidate the stored in-memory best (regression:
+    'Array has been deleted' after a recovery reload)."""
+    import jax.numpy as jnp
+    from linna_tpu import losses as L, nn as N, transforms as T
+    from linna_tpu.train import Trainer
+
+    rng = np.random.default_rng(0)
+    tx = rng.uniform(-1, 1, (40, 2)); ty = tx.copy()
+    vx = tx[:10]; vy = ty[:10]
+    x_t = T.fit_x_transform(tx, None)
+    y_d = T.YTransformData(jnp.ones(2))
+    y_t = T.fit_y_transform(ty, ypositive=False)
+    ts = T.TransformSet(x_t, y_t, y_d)
+    ls = L.build_loss_state(np.zeros(2), np.eye(2), ts)
+    tr = Trainer(N.make_model_spec("chto_simple", 2, 2), ts, ls,
+                 outdir=str(tmp_path), seed=0)
+    tr.train(tx, ty, vx, vy, num_epochs=5, batch_size=10, auto_lr=False)
+    assert tr.load_best()          # from memory
+    tr.train(tx, ty, vx, vy, num_epochs=5, batch_size=10, auto_lr=False)
+    assert tr.load_best()
+    # the stored best must still be readable after donation-heavy epochs
+    import jax
+
+    leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(tr.params)]
+    assert all(np.all(np.isfinite(l)) for l in leaves)
