@@ -178,6 +178,7 @@ def train_emulator(
             num_epochs=int(params.get("num_epochs", 4500)),
             batch_size=int(params.get("batch_size", 500)),
             initfrombest=True,
+            epochs_per_dispatch=params.get("epochs_per_dispatch"),
             verbose=verbose,
         )
     _write_finish(finish_path)

@@ -178,40 +178,115 @@ class Trainer:
         pred = N.apply_model(self.spec, params, self.transforms.x_transform(bx))
         return L.loss_fn(self.loss_state, self.transforms, pred, by)
 
-    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
-    def _epoch(self, params, opt_state, key, train_x, train_y, val_x, val_y):
+    @partial(jax.jit, static_argnums=(0, 8), donate_argnums=(1, 2))
+    def _epochs(
+        self, params, opt_state, key, train_x, train_y, val_x, val_y, n_epochs
+    ):
+        """``n_epochs`` full epochs as ONE device program (scan over epochs,
+        scan over minibatches inside) — one host round trip per chunk
+        instead of per epoch (measured on a tunneled v5e: ~0.15 s/epoch of
+        host sync vs ~7 ms/epoch of compute for the DES-scale model).
+        Returns per-epoch (last-batch losses, val metrics, min eigs)."""
         n = train_x.shape[0]
         bs = self._batch_size
         nb = max(n // bs, 1)
-        perm = jax.random.permutation(key, n)[: nb * bs].reshape(nb, bs)
 
-        def step(carry, idx):
+        def one_epoch(carry, ekey):
             params, opt_state = carry
-            loss, grads = jax.value_and_grad(self._loss)(
-                params, train_x[idx], train_y[idx]
-            )
-            updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+            perm = jax.random.permutation(ekey, n)[: nb * bs].reshape(nb, bs)
 
-        (params, opt_state), batch_losses = jax.lax.scan(step, (params, opt_state), perm)
-        val_pred = N.apply_model(self.spec, params, self.transforms.x_transform(val_x))
-        val_metric = L.val_metric_fn(self.loss_state, self.transforms, val_pred, val_y)
-        # Output-collapse diagnostic: the ReLU trunk can die into a constant
-        # or rank-deficient output subspace (all val predictions identical or
-        # perfectly collinear), which stalls training permanently.  The
-        # smallest eigenvalue of the prediction correlation matrix is ~0 in
-        # that state and O(1) for a healthy model.  Only meaningful (and only
-        # a risk) for small output sizes; for ndata in the hundreds a full
-        # output-stage death is statistically impossible.
-        if self.spec.out_size <= 16:
-            centered = val_pred - jnp.mean(val_pred, axis=0)
-            denom = jnp.sqrt(jnp.mean(centered**2, axis=0)) + 1e-20
-            corr = (centered / denom).T @ (centered / denom) / val_pred.shape[0]
-            min_eig = jnp.linalg.eigvalsh(corr)[0]
-        else:
-            min_eig = jnp.asarray(1.0)
-        return params, opt_state, batch_losses, val_metric, min_eig
+            def step(carry, idx):
+                params, opt_state = carry
+                loss, grads = jax.value_and_grad(self._loss)(
+                    params, train_x[idx], train_y[idx]
+                )
+                updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), batch_losses = jax.lax.scan(
+                step, (params, opt_state), perm
+            )
+            val_pred = N.apply_model(
+                self.spec, params, self.transforms.x_transform(val_x)
+            )
+            val_metric = L.val_metric_fn(
+                self.loss_state, self.transforms, val_pred, val_y
+            )
+            # Output-collapse diagnostic: the ReLU trunk can die into a
+            # constant or rank-deficient output subspace, which stalls
+            # training permanently.  The smallest eigenvalue of the
+            # prediction correlation matrix is ~0 in that state and O(1)
+            # healthy.  Only a risk (and only computed) for small outputs.
+            if self.spec.out_size <= 16:
+                centered = val_pred - jnp.mean(val_pred, axis=0)
+                denom = jnp.sqrt(jnp.mean(centered**2, axis=0)) + 1e-20
+                corr = (centered / denom).T @ (centered / denom) / val_pred.shape[0]
+                min_eig = jnp.linalg.eigvalsh(corr)[0]
+            else:
+                min_eig = jnp.asarray(1.0)
+            return (params, opt_state), (batch_losses, val_metric, min_eig)
+
+        ekeys = jax.random.split(key, n_epochs)
+        (params, opt_state), (losses, val_metrics, min_eigs) = jax.lax.scan(
+            one_epoch, (params, opt_state), ekeys
+        )
+        return params, opt_state, losses, val_metrics, min_eigs
+
+    @partial(jax.jit, static_argnums=(0, 8), donate_argnums=(1, 2))
+    def _epochs_tracked(
+        self, params, opt_state, key, train_x, train_y, val_x, val_y, n_epochs
+    ):
+        """Like :meth:`_epochs` but also tracks the best-validation params
+        *within the chunk* on device, so chunked dispatch loses no
+        best-checkpoint granularity."""
+        n = train_x.shape[0]
+        bs = self._batch_size
+        nb = max(n // bs, 1)
+
+        def one_epoch(carry, ekey):
+            params, opt_state, best_val, best_params = carry
+            perm = jax.random.permutation(ekey, n)[: nb * bs].reshape(nb, bs)
+
+            def step(c, idx):
+                p, s = c
+                loss, grads = jax.value_and_grad(self._loss)(
+                    p, train_x[idx], train_y[idx]
+                )
+                updates, s = self.optimizer.update(grads, s, p)
+                return (optax.apply_updates(p, updates), s), loss
+
+            (params, opt_state), batch_losses = jax.lax.scan(
+                step, (params, opt_state), perm
+            )
+            val_pred = N.apply_model(
+                self.spec, params, self.transforms.x_transform(val_x)
+            )
+            val_metric = L.val_metric_fn(
+                self.loss_state, self.transforms, val_pred, val_y
+            )
+            if self.spec.out_size <= 16:
+                centered = val_pred - jnp.mean(val_pred, axis=0)
+                denom = jnp.sqrt(jnp.mean(centered**2, axis=0)) + 1e-20
+                corr = (centered / denom).T @ (centered / denom) / val_pred.shape[0]
+                min_eig = jnp.linalg.eigvalsh(corr)[0]
+            else:
+                min_eig = jnp.asarray(1.0)
+            improved = val_metric[0] < best_val
+            best_val = jnp.where(improved, val_metric[0], best_val)
+            best_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(improved, new, old), params, best_params
+            )
+            return (params, opt_state, best_val, best_params), (
+                batch_losses, val_metric, min_eig,
+            )
+
+        ekeys = jax.random.split(key, n_epochs)
+        best0 = jnp.asarray(jnp.inf, jnp.float32)
+        (params, opt_state, best_val, best_params), (losses, vms, eigs) = jax.lax.scan(
+            one_epoch, (params, opt_state, best0, params), ekeys
+        )
+        return params, opt_state, losses, vms, eigs, best_val, best_params
 
     @partial(jax.jit, static_argnums=0)
     def _train_step(self, params, opt_state, bx, by):
@@ -256,6 +331,9 @@ class Trainer:
     # link, 100x the epoch's compute).  The best params live on device
     # between saves, so recovery semantics are unchanged.
     save_every = 50
+    # Epochs per device dispatch: whole-chunk scans cut the per-epoch host
+    # round trip (~0.15 s over a tunneled link vs ~7 ms of compute).
+    epochs_per_dispatch = 10
 
     def _save(self, epoch: int, is_best: bool, force: bool = False):
         if is_best:
@@ -265,8 +343,10 @@ class Trainer:
             self._best_dirty = True
         if self.outdir is None:
             return
-        if not force and epoch % self.save_every != 0:
+        last = getattr(self, "_last_disk_save", -10**9)
+        if not force and epoch - last < self.save_every:
             return
+        self._last_disk_save = epoch
         meta = {"epoch": epoch, "best_val_loss": self.best_val_loss, "lr": self.lr}
         ckpt.save_checkpoint(
             os.path.join(self.outdir, LAST_CKPT), self.params, self.opt_state, meta
@@ -289,6 +369,7 @@ class Trainer:
         initfrombest: bool = True,
         auto_lr: bool = True,
         lr_scale: float = 1.0,
+        epochs_per_dispatch: Optional[int] = None,
         verbose: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Run the full supervised loop; returns (train_losses, val_metrics)
@@ -298,6 +379,8 @@ class Trainer:
         val_x = jnp.asarray(val_x, jnp.float32)
         val_y = jnp.asarray(val_y, jnp.float32)
         self._batch_size = min(int(batch_size), int(train_x.shape[0]))
+        if epochs_per_dispatch is not None:
+            self.epochs_per_dispatch = max(int(epochs_per_dispatch), 1)
 
         if auto_lr:
             self.lr = lr_range_test(self, train_x, train_y, outdir=self.outdir)
@@ -311,111 +394,151 @@ class Trainer:
         val_metrics: List[np.ndarray] = []
         old = 0.0
         told = 0.0
-        for i in range(num_epochs):
+        stop = False
+        i = 0
+        last_plot = 0
+        while i < num_epochs and not stop:
+            k = min(self.epochs_per_dispatch, num_epochs - i)
             self.key, ekey = jax.random.split(self.key)
-            self.params, self.opt_state, batch_losses, val_metric, min_eig = self._epoch(
-                self.params, self.opt_state, ekey, train_x, train_y, val_x, val_y
+            (
+                self.params, self.opt_state, losses_k, vms_k, eigs_k,
+                chunk_best_val, chunk_best_params,
+            ) = self._epochs_tracked(
+                self.params, self.opt_state, ekey, train_x, train_y, val_x, val_y, k
             )
-            batch_losses = np.asarray(batch_losses)
-            train_losses.extend(batch_losses.tolist())
-            loss = float(batch_losses[-1])
-            vm = np.asarray(val_metric, dtype=np.float64)
-            val_metrics.append(vm)
-            val0 = float(vm[0])
+            losses_k = np.asarray(losses_k)
+            vms_k = np.asarray(vms_k, dtype=np.float64)
+            eigs_k = np.asarray(eigs_k)
+            chunk_best_val = float(chunk_best_val)
+            if chunk_best_val < self.best_val_loss:
+                self.best_val_loss = chunk_best_val
+                # fresh jit output — not aliased to donated buffers
+                self._best_params_mem = chunk_best_params
+                self._best_dirty = True
 
-            is_best = val0 < self.best_val_loss
-            if is_best:
-                self.best_val_loss = val0
+            # host supervisor over the chunk's per-epoch metrics; the first
+            # params-replacing intervention wins and the rest of the chunk's
+            # trajectory is discarded (interventions are rare — the chunked
+            # cadence matches the reference's per-epoch checks in practice)
+            intervened = False
+            for j in range(k):
+                ep = i + j
+                batch_losses = losses_k[j]
+                train_losses.extend(batch_losses.tolist())
+                loss = float(batch_losses[-1])
+                vm = vms_k[j]
+                val_metrics.append(vm)
+                val0 = float(vm[0])
+                if intervened or stop:
+                    # a params-replacing intervention already fired in this
+                    # chunk: keep the metric history, suppress further actions
+                    old, told = val0, loss
+                    continue
 
-            flat_start = (
-                i >= 10
-                and i < 120
-                and i % 10 == 0
-                and np.std([m[0] for m in val_metrics[-10:]])
-                < 0.01 * np.mean([m[0] for m in val_metrics[-10:]])
-            )
-            # Output collapse (dead ReLU output stage) can strike at any
-            # epoch and never recovers by gradient descent — reinit when the
-            # prediction correlation goes truly rank-deficient (machine-zero
-            # smallest eigenvalue) while the loss is far from the best seen.
-            # Additionally, a late stall far above the best-ever loss is
-            # escaped by reloading the best checkpoint.
-            collapsed = (
-                float(min_eig) < 1e-6
-                and i % 10 == 0
-                and i >= 10
-                and val0 > 2.0 * self.best_val_loss
-            )
-            late_stall = (
-                i >= 120
-                and i % 50 == 0
-                and self.best_val_loss < np.inf
-                and val0 > 3.0 * self.best_val_loss
-                and np.std([m[0] for m in val_metrics[-10:]])
-                < 0.01 * np.mean([m[0] for m in val_metrics[-10:]])
-            )
-            # --- flat-start detector (linna/predictor_gpu.py:319-335) +
-            #     collapse/stall escapes (this framework's additions)
-            if flat_start or collapsed:
-                if verbose:
-                    why = "collapse" if collapsed else "flat start"
-                    print(f"bad training restart at epoch {i} ({why})", flush=True)
-                self._reinit_weights()
-                if i > 10 and self.lr > 2e-4:
-                    self.lr = max(self.lr / 2.0, MIN_LR)
-                self._reset_optimizer()
-            elif late_stall:
-                if verbose:
-                    print(f"late stall at epoch {i}: reload best", flush=True)
-                if not self.load_best():
-                    self._reinit_weights()
-                self._reset_optimizer()
-            # --- NaN / loss-spike recovery (linna/predictor_gpu.py:339-373)
-            elif (
-                np.isnan(val0)
-                or val0 > 1e10
-                or (i != 0 and val0 - old > 5 * old)
-                or (i != 0 and loss - told > 5 * told)
-            ):
-                if not self.load_best():
-                    self._reinit_weights()
-                if (np.isnan(val0) or val0 > 1e10 or val0 - old > 10 * old) and i > 10:
-                    if self.lr > MIN_LR:
-                        self.lr = self.lr / 2.0
-                self._reset_optimizer()
-                if not np.isnan(val0) and val0 - old > 5 * old:
-                    vm[0] = old
-                    val0 = old
-            else:
-                action = es.step(val0, loss)
-                if action == 1:
-                    if self.lr > MIN_LR:
-                        self.lr /= 2.0
-                        self.wd /= 2.0
-                        self.opt_state = _set_hyper(self.opt_state, self.lr, self.wd)
-                    else:
-                        es.cooling = 0
-                elif action == 2:
+                flat_start = (
+                    ep >= 10
+                    and ep < 120
+                    and ep % 10 == 0
+                    and np.std([m[0] for m in val_metrics[-10:]])
+                    < 0.01 * np.mean([m[0] for m in val_metrics[-10:]])
+                )
+                # Output collapse (dead ReLU output stage) never recovers by
+                # gradient descent — reinit on a rank-deficient prediction
+                # correlation; a late stall far above the best reloads it.
+                collapsed = (
+                    float(eigs_k[j]) < 1e-6
+                    and ep % 10 == 0
+                    and ep >= 10
+                    and val0 > 2.0 * self.best_val_loss
+                )
+                late_stall = (
+                    ep >= 120
+                    and ep % 50 == 0
+                    and self.best_val_loss < np.inf
+                    and val0 > 3.0 * self.best_val_loss
+                    and np.std([m[0] for m in val_metrics[-10:]])
+                    < 0.01 * np.mean([m[0] for m in val_metrics[-10:]])
+                )
+                # --- flat-start detector (linna/predictor_gpu.py:319-335) +
+                #     collapse/stall escapes (this framework's additions)
+                if flat_start or collapsed:
                     if verbose:
-                        print(f"early stop at epoch {i} (lr={self.lr:g})", flush=True)
-                    self._save(i, is_best, force=True)
-                    break
-                elif action == 3:
-                    if self.wd < 1.0:
-                        self.wd *= 2.0
-                        self.opt_state = _set_hyper(self.opt_state, self.lr, self.wd)
+                        why = "collapse" if collapsed else "flat start"
+                        print(f"bad training restart at epoch {ep} ({why})", flush=True)
+                    self._reinit_weights()
+                    if ep > 10 and self.lr > 2e-4:
+                        self.lr = max(self.lr / 2.0, MIN_LR)
+                    self._reset_optimizer()
+                    intervened = True
+                    continue
+                elif late_stall:
+                    if verbose:
+                        print(f"late stall at epoch {ep}: reload best", flush=True)
+                    if not self.load_best():
+                        self._reinit_weights()
+                    self._reset_optimizer()
+                    intervened = True
+                    continue
+                # --- NaN / loss-spike recovery (linna/predictor_gpu.py:339-373)
+                elif (
+                    np.isnan(val0)
+                    or val0 > 1e10
+                    or (ep != 0 and val0 - old > 5 * old)
+                    or (ep != 0 and loss - told > 5 * told)
+                ):
+                    if not self.load_best():
+                        self._reinit_weights()
+                    if (
+                        np.isnan(val0) or val0 > 1e10 or val0 - old > 10 * old
+                    ) and ep > 10:
+                        if self.lr > MIN_LR:
+                            self.lr = self.lr / 2.0
+                    self._reset_optimizer()
+                    if not np.isnan(val0) and val0 - old > 5 * old:
+                        vm[0] = old
+                        val0 = old
+                    intervened = True
+                    continue
+                else:
+                    action = es.step(val0, loss)
+                    if action == 1:
+                        if self.lr > MIN_LR:
+                            self.lr /= 2.0
+                            self.wd /= 2.0
+                            self.opt_state = _set_hyper(
+                                self.opt_state, self.lr, self.wd
+                            )
+                        else:
+                            es.cooling = 0
+                    elif action == 2:
+                        if verbose:
+                            print(
+                                f"early stop at epoch {ep} (lr={self.lr:g})",
+                                flush=True,
+                            )
+                        stop = True
+                        continue
+                    elif action == 3:
+                        if self.wd < 1.0:
+                            self.wd *= 2.0
+                            self.opt_state = _set_hyper(
+                                self.opt_state, self.lr, self.wd
+                            )
 
-            old = val0
-            told = loss
-            self._save(i, is_best)
+                old = val0
+                told = loss
 
-            # training_progress.png every 100 epochs
+            i += k
+            self._save(i - 1, False)
+
+            # training_progress.png roughly every 100 epochs
             # (linna/predictor_gpu.py:422-442)
-            if self.outdir is not None and i % 100 == 0 and i > 0:
+            if self.outdir is not None and i - last_plot >= 100:
+                last_plot = i
                 plots.plot_training_progress(
                     train_losses, val_metrics,
                     os.path.join(self.outdir, "training_progress.png"),
-                    batches_per_epoch=max(len(batch_losses), 1),
+                    batches_per_epoch=max(losses_k.shape[-1], 1),
                 )
 
         self._save(num_epochs - 1, False, force=True)
