@@ -110,7 +110,11 @@ def test_posterior_accuracy_2d_gaussian(tmp_path):
         stdshiftArr=[0.5, 0.5, 0.5],
         temperatureArr=[4.0, 2.0, 1.0],
         nwalkers=32,
-        params={"trainingoption": 1, "num_epochs": 400, "batch_size": 100},
+        # nensemble=2 damps single-training-trajectory variance (the same
+        # config lands at 0.01-0.03 sigma on TPU but an individual CPU
+        # training run can go bad; seed-averaged chi2 makes the test robust)
+        params={"trainingoption": 1, "num_epochs": 400, "batch_size": 100,
+                "nensemble": 2},
     )
     # analytic: truncated normal on [-2,2]
     from scipy.stats import truncnorm
