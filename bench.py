@@ -66,6 +66,41 @@ def bench_tpu() -> float:
     return WALKERS * CHUNK * reps / dt
 
 
+BASELINE_FILE = "reference_baseline.json"
+
+
+def pinned_baseline() -> float:
+    """Reference-architecture baseline with a pinned methodology.
+
+    The single-walker torch rate is host-load sensitive, so the value is
+    measured once (4 torch threads, best of 3 repeats of >=300 evals) and
+    stored in ``reference_baseline.json`` next to this script; subsequent
+    bench runs report against the stored number.  Delete the file to
+    re-measure on a new hardware class."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), BASELINE_FILE)
+    if os.path.isfile(path):
+        with open(path) as f:
+            return float(json.load(f)["evals_per_sec"])
+    import torch
+
+    torch.set_num_threads(4)
+    rate = max(bench_reference_style() for _ in range(3))
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "evals_per_sec": round(rate, 2),
+                "methodology": "single-walker torch CPU ChtoModelv2 likelihood "
+                "(reference linna/util.py:990 architecture), torch.jit "
+                "optimize_for_inference, 4 threads, best of 3 repeats",
+            },
+            f,
+            indent=1,
+        )
+    return rate
+
+
 def bench_reference_style(max_evals: int = 300, max_seconds: float = 30.0) -> float:
     """Reference-architecture baseline measured live: single-walker torch CPU
     emulator likelihood (same ChtoModelv2 topology/widths), eval-mode
@@ -132,7 +167,7 @@ def main():
     _enable_compile_cache()
     value = bench_tpu()
     try:
-        baseline = bench_reference_style()
+        baseline = pinned_baseline()
     except Exception:
         baseline = float("nan")
     vs = value / baseline if np.isfinite(baseline) and baseline > 0 else None

@@ -22,11 +22,29 @@ import numpy as np
 
 __all__ = [
     "TrainingData",
+    "sample_x_path",
+    "sample_y_path",
     "save_samples_x",
     "save_samples_y",
     "load_iteration_stack",
     "curate",
 ]
+
+
+def sample_x_path(outdir: str, name: str) -> str:
+    """Parameter-sample filename for a split.  The reference names the
+    best-point validation split ``best_samples_x_val.txt`` — suffix, not
+    prefix (linna/util.py:1243-1252) — kept for byte-compatible resume."""
+    if name == "best_val":
+        return os.path.join(outdir, "best_samples_x_val.txt")
+    return os.path.join(outdir, f"{name}_samples_x.txt")
+
+
+def sample_y_path(outdir: str, name: str) -> str:
+    """Theory-output filename for a split (see :func:`sample_x_path`)."""
+    if name == "best_val":
+        return os.path.join(outdir, "best_samples_y_val.npy")
+    return os.path.join(outdir, f"{name}_samples_y.npy")
 
 
 @dataclass
@@ -54,10 +72,10 @@ def _load_pairs(outdir_list: Sequence[str], name: str) -> Tuple[np.ndarray, np.n
     xs: List[np.ndarray] = []
     ys: List[np.ndarray] = []
     for outdir in outdir_list:
-        x = np.loadtxt(os.path.join(outdir, f"{name}_samples_x.txt"))
+        x = np.loadtxt(sample_x_path(outdir, name))
         if x.ndim > 1 and len(x) > 1:
             xs.append(x)
-        y = np.load(os.path.join(outdir, f"{name}_samples_y.npy"))
+        y = np.load(sample_y_path(outdir, name))
         if y.ndim > 1 and len(y) > 1:
             ys.append(y)
     return np.concatenate(xs), np.concatenate(ys)
@@ -85,7 +103,7 @@ def load_iteration_stack(
 
 
 def _has_best_val(outdir_list: Sequence[str]) -> bool:
-    return os.path.isfile(os.path.join(outdir_list[0], "best_val_samples_x.txt"))
+    return os.path.isfile(sample_x_path(outdir_list[0], "best_val"))
 
 
 def curate(data: TrainingData, ypositive: bool = False) -> TrainingData:
@@ -122,20 +140,3 @@ def curate(data: TrainingData, ypositive: bool = False) -> TrainingData:
         val_y = np.clip(val_y, -1e5, 1e8)
         y_stats = np.clip(y_stats, -1e5, 1e10)
     return TrainingData(train_x, train_y, val_x, val_y, y_stats)
-
-
-def apply_chisq_cut(
-    train_x: np.ndarray,
-    train_y: np.ndarray,
-    data: np.ndarray,
-    inv_cov: np.ndarray,
-    chisqcut: Optional[float],
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Drop training rows with chi^2 above ``chisqcut``
-    (reference linna/util.py:1260-1270)."""
-    if chisqcut is None:
-        return train_x, train_y
-    delta = train_y - data
-    chisq = np.einsum("ij,jk,ik->i", delta, inv_cov, delta)
-    keep = chisq <= chisqcut
-    return train_x[keep], train_y[keep]

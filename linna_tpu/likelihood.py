@@ -48,6 +48,7 @@ def make_log_prob(
     external_loglike: Optional[Callable] = None,
     linearmodel: Optional[Callable] = None,
     ensemble_k_std: float = 1.0,
+    use_fused: bool = False,
 ) -> Callable[[jax.Array], jax.Array]:
     """Build the batched whitened-space log-posterior.
 
@@ -55,6 +56,12 @@ def make_log_prob(
     (reference ``loglikelihoodfunc``); ``external_loglike(x_physical)`` adds
     extra JAX-traceable terms (reference ``externalloglike``,
     linna/util.py:1004-1008) evaluated in physical space.
+
+    ``use_fused=True`` dispatches to the single-kernel Pallas implementation
+    (:func:`linna_tpu.ops.fused.fused_log_prob`) when a real TPU backend is
+    present and the configuration is the plain single-emulator Gaussian path;
+    otherwise it silently falls back to the XLA composition (benchmarked at
+    parity with XLA at large walker counts — see ops/fused.py notes).
 
     **Ensemble likelihood** (extension beyond the reference): ``params`` may
     be a list/tuple of K independently trained parameter pytrees.  The
@@ -80,6 +87,21 @@ def make_log_prob(
         if loglike_fn is not None:
             raise ValueError("ensemble likelihood requires the default Gaussian loglike")
         stacked = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *params)
+
+    if (
+        use_fused
+        and not is_ensemble
+        and loglike_fn is None
+        and external_loglike is None
+        and linearmodel is None
+    ):
+        from .ops import fused
+
+        if fused.pallas_available():
+            return fused.fused_log_prob(
+                spec, params, transforms, prior_pack, data, inv_cov,
+                temperature=temperature,
+            )
 
     def log_prob(x: jax.Array) -> jax.Array:
         x = jnp.asarray(x, jnp.float32)

@@ -76,15 +76,20 @@ def _open_backend(chainname: str, method: str):
 
 
 def get_good_walker_list(log_prob_samples: np.ndarray) -> np.ndarray:
-    """Cluster walkers by mean log-prob and keep the best cluster
-    (reference linna/util.py:57-66, KMeans over mean logp)."""
+    """Cluster walkers by (int-cast) mean log-prob and keep the cluster whose
+    center is highest (reference linna/util.py:57-66, KMeans over mean logp).
+
+    The reference selects ``labels[argmax(centers)]`` — indexing a *walker's*
+    label by a *cluster* index, which picks an arbitrary cluster; the intended
+    selection (argmax center IS the cluster id, since KMeans labels are center
+    indices) is implemented here."""
     from sklearn.cluster import KMeans
 
     x = np.mean(log_prob_samples[-10000:, :], axis=0)
     X = np.stack([x, np.zeros_like(x)], axis=1).astype(int)
     n_clusters = min(8, len(np.unique(X[:, 0])))
     ms = KMeans(n_clusters=max(n_clusters, 1), n_init=10).fit(X)
-    best = ms.labels_[np.argmax(ms.cluster_centers_[:, 0])]
+    best = int(np.argmax(ms.cluster_centers_[:, 0]))
     return np.where(ms.labels_ == best)[0]
 
 
@@ -164,23 +169,43 @@ def train_emulator(
     # outdir_in for reference artifact parity, members 1..K-1 in ens_k/);
     # sampling combines them conservatively — see likelihood.make_log_prob.
     n_ensemble = int(params.get("nensemble", 1))
-    for k in range(n_ensemble):
-        member_dir = outdir_in if k == 0 else os.path.join(outdir_in, f"ens_{k}/")
-        os.makedirs(member_dir, exist_ok=True)
-        trainer = Trainer(
-            spec, transforms, loss_state, outdir=member_dir, seed=seed + 1000 * k
-        )
+    member_dirs = [outdir_in] + [
+        os.path.join(outdir_in, f"ens_{k}/") for k in range(1, n_ensemble)
+    ]
+    seeds = [seed + 1000 * k for k in range(n_ensemble)]
+    train_kwargs = dict(
+        num_epochs=int(params.get("num_epochs", 4500)),
+        batch_size=int(params.get("batch_size", 500)),
+        initfrombest=True,
+        epochs_per_dispatch=params.get("epochs_per_dispatch"),
+        verbose=verbose,
+    )
+    # Mesh path: all ensemble members advance concurrently as one sharded
+    # device program (member axis over 'ens', per-member batches over
+    # 'data') — the multi-device activation of the DDP the reference
+    # scaffolded (linna/predictor_gpu.py:264-267).  The serial path remains
+    # for single-member single-chip runs and as the parity baseline
+    # (params={"serial_members": True}).
+    use_mesh = (n_ensemble > 1 or jax.device_count() > 1) and not params.get(
+        "serial_members"
+    )
+    if use_mesh:
+        from .parallel.ensemble import EnsembleTrainer
+
+        trainer = EnsembleTrainer(spec, transforms, loss_state, member_dirs, seeds)
         trainer.train(
-            stack.train_x,
-            stack.train_y,
-            stack.val_x,
-            stack.val_y,
-            num_epochs=int(params.get("num_epochs", 4500)),
-            batch_size=int(params.get("batch_size", 500)),
-            initfrombest=True,
-            epochs_per_dispatch=params.get("epochs_per_dispatch"),
-            verbose=verbose,
+            stack.train_x, stack.train_y, stack.val_x, stack.val_y, **train_kwargs
         )
+    else:
+        for member_dir, member_seed in zip(member_dirs, seeds):
+            os.makedirs(member_dir, exist_ok=True)
+            trainer = Trainer(
+                spec, transforms, loss_state, outdir=member_dir, seed=member_seed
+            )
+            trainer.train(
+                stack.train_x, stack.train_y, stack.val_x, stack.val_y,
+                **train_kwargs,
+            )
     _write_finish(finish_path)
 
 
@@ -534,11 +559,15 @@ def ml_sampler_core(
             if not os.path.isfile(chain_path):
                 # reference main.py:255-263: fall back to shape-inferred
                 # retrieval with flat[-1,1]-padded priors when the saved
-                # checkpoint was trained with more parameters than ``init``
-                try:
+                # checkpoint was trained with more parameters than ``init``.
+                # The reference used a blanket try/except here; an explicit
+                # shape comparison keeps genuine retrieval failures
+                # (corrupt checkpoint, missing transforms) loud.
+                in_saved, _ = _saved_shapes(outdir_in)
+                if in_saved == ndim:
                     trainer = retrieve_model(outdir_in, ndim, len(data), nnmodel_in)
                     pack_run, ndim_run, init_run = pack, ndim, init_white
-                except Exception:
+                else:
                     trainer, incut, _ = retrieve_model_exist(
                         outdir_in, ndim, len(data), nnmodel_in
                     )
@@ -562,6 +591,7 @@ def ml_sampler_core(
                     temperature=temperature,
                     loglike_fn=loglikelihoodfunc,
                     external_loglike=externalloglike,
+                    use_fused=bool(params.get("use_fused")),
                 )
                 jitter = 0.1 if method == "emcee" else 0.001
                 x0 = init_run + jitter * rng.standard_normal((nwalkers, ndim_run))

@@ -16,9 +16,12 @@ XLA inserts the collectives.
 
 from .mesh import (  # noqa: F401
     make_mesh,
+    make_ensemble_mesh,
+    member_sharding,
     param_shardings,
     shard_params,
     batch_sharding,
     replicated,
 )
 from .dtrain import make_sharded_train_step, make_sharded_epoch  # noqa: F401
+from .ensemble import EnsembleTrainer  # noqa: F401

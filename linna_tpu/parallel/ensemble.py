@@ -1,0 +1,464 @@
+"""Mesh-parallel ensemble-member training: all K emulators as ONE program.
+
+The reference trains one emulator per call and scaffolded-but-never-activated
+torch DDP for multi-device speed (reference linna/predictor_gpu.py:264-267,
+407-411; production passes ``pool=None, size=1`` — linna/util.py:1287).  This
+framework's flagship ``nensemble`` likelihood needs K independently seeded
+emulators per iteration, which round 1 trained *serially* — K× the wall-clock
+with most chips idle.  :class:`EnsembleTrainer` instead stacks the K members
+along a leading axis and advances them together:
+
+- the stacked parameters/optimizer state are sharded over the mesh's ``ens``
+  axis (each member's weights live on its own device group);
+- each member's minibatch is additionally sharded over the ``data`` axis
+  (data parallelism *within* a member — the DDP analogue; GSPMD inserts the
+  gradient all-reduce over ICI);
+- the whole dispatch chunk (``epochs_per_dispatch`` epochs × minibatch scan ×
+  validation) is one ``jit`` of a ``vmap`` over members, so a K=4 ensemble on
+  8 chips costs ~the wall-clock of one member on 2;
+- per-member PRNG streams, LR range tests, EarlyStopping and pathology
+  recovery reproduce the serial :class:`linna_tpu.train.Trainer` exactly
+  (shared :class:`linna_tpu.train.Supervisor` decision machine; per-member
+  learning rates ride the vmapped ``optax.inject_hyperparams`` state), so
+  checkpoints match the serial path to float tolerance;
+- member 0 checkpoints into the iteration directory and members 1..K-1 into
+  ``ens_k/``, identical artifact layout to the serial path (and to the
+  reference's ``best.pth.tar`` contract, linna/nnutils.py:109-151).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .. import losses as L
+from .. import nn as N
+from ..train import (
+    BEST_CKPT,
+    LAST_CKPT,
+    Supervisor,
+    _make_optimizer,
+    smooth_and_pick_lr,
+)
+from ..transforms import TransformSet
+from ..utils import checkpoint as ckpt
+from ..utils import plots
+from .mesh import make_ensemble_mesh, member_sharding
+
+__all__ = ["EnsembleTrainer"]
+
+
+def _row(tree, m: int):
+    """Member ``m``'s slice of a stacked pytree."""
+    return jax.tree.map(lambda a: a[m], tree)
+
+
+def _row_set(tree, m: int, row_tree):
+    """Write a single-member pytree into row ``m`` of a stacked pytree."""
+    return jax.tree.map(lambda a, r: a.at[m].set(r), tree, row_tree)
+
+
+class EnsembleTrainer:
+    """Train K ensemble members concurrently on a ('ens', 'data') mesh.
+
+    ``outdirs[k]``/``seeds[k]`` give each member the same artifacts and PRNG
+    stream it would get from a serial ``Trainer(..., outdir=outdirs[k],
+    seed=seeds[k])`` run, so the two paths are interchangeable on disk.
+    """
+
+    save_every = 50
+    epochs_per_dispatch = 10
+
+    def __init__(
+        self,
+        spec: N.ModelSpec,
+        transforms: TransformSet,
+        loss_state: L.LossState,
+        outdirs: Sequence[str],
+        seeds: Sequence[int],
+        mesh=None,
+    ):
+        assert len(outdirs) == len(seeds)
+        self.spec = spec
+        self.transforms = transforms
+        self.loss_state = loss_state
+        self.outdirs = [str(d) for d in outdirs]
+        self.n_members = len(outdirs)
+        self.mesh = mesh if mesh is not None else make_ensemble_mesh(self.n_members)
+        # per-member host PRNG streams, split exactly like Trainer.__init__
+        self.member_keys = [jax.random.key(int(s)) for s in seeds]
+        inits = []
+        for m in range(self.n_members):
+            self.member_keys[m], k_init = jax.random.split(self.member_keys[m])
+            inits.append(N.init_model(k_init, spec))
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *inits)
+        self.params = jax.device_put(stacked, member_sharding(self.mesh, stacked))
+        self.optimizer = _make_optimizer()
+        self.opt_state = jax.jit(jax.vmap(self.optimizer.init))(self.params)
+        self.lr = np.full(self.n_members, 1e-4)
+        self.wd = np.full(self.n_members, 1e-4)
+        self.best_val_loss = np.full(self.n_members, np.inf)
+        self._best_params_mem = None
+        self._best_dirty = np.zeros(self.n_members, bool)
+        self._last_disk_save = -(10**9)
+
+    # ---------------------------------------------------------------- jitted
+
+    def _member_loss(self, params, bx, by):
+        pred = N.apply_model(self.spec, params, self.transforms.x_transform(bx))
+        return L.loss_fn(self.loss_state, self.transforms, pred, by)
+
+    @partial(jax.jit, static_argnums=(0, 8), donate_argnums=(1, 2))
+    def _epochs_members(
+        self, params, opt_state, ekeys, train_x, train_y, val_x, val_y, n_epochs
+    ):
+        """``n_epochs`` epochs for ALL members as one device program:
+        vmap over the stacked member axis of the serial trainer's
+        epoch-chunk (shuffle -> scanned minibatch AdamW steps -> validation
+        -> on-device best tracking).  Minibatches are sharded over the
+        'data' mesh axis inside each member lane."""
+        bsh = NamedSharding(self.mesh, P("data", None))
+        n = train_x.shape[0]
+        bs = self._batch_size
+        nb = max(n // bs, 1)
+
+        def member(params, opt_state, key):
+            def one_epoch(carry, ekey):
+                params, opt_state, best_val, best_params = carry
+                perm = jax.random.permutation(ekey, n)[: nb * bs].reshape(nb, bs)
+
+                def step(c, idx):
+                    p, s = c
+                    bx = jax.lax.with_sharding_constraint(train_x[idx], bsh)
+                    by = jax.lax.with_sharding_constraint(train_y[idx], bsh)
+                    loss, grads = jax.value_and_grad(self._member_loss)(p, bx, by)
+                    updates, s = self.optimizer.update(grads, s, p)
+                    return (optax.apply_updates(p, updates), s), loss
+
+                (params, opt_state), batch_losses = jax.lax.scan(
+                    step, (params, opt_state), perm
+                )
+                val_pred = N.apply_model(
+                    self.spec, params, self.transforms.x_transform(val_x)
+                )
+                val_metric = L.val_metric_fn(
+                    self.loss_state, self.transforms, val_pred, val_y
+                )
+                if self.spec.out_size <= 16:
+                    centered = val_pred - jnp.mean(val_pred, axis=0)
+                    denom = jnp.sqrt(jnp.mean(centered**2, axis=0)) + 1e-20
+                    corr = (
+                        (centered / denom).T @ (centered / denom)
+                    ) / val_pred.shape[0]
+                    min_eig = jnp.linalg.eigvalsh(corr)[0]
+                else:
+                    min_eig = jnp.asarray(1.0)
+                improved = val_metric[0] < best_val
+                best_val = jnp.where(improved, val_metric[0], best_val)
+                best_params = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(improved, new, old),
+                    params,
+                    best_params,
+                )
+                return (params, opt_state, best_val, best_params), (
+                    batch_losses, val_metric, min_eig,
+                )
+
+            ekeys_e = jax.random.split(key, n_epochs)
+            best0 = jnp.asarray(jnp.inf, jnp.float32)
+            (params, opt_state, best_val, best_params), (losses, vms, eigs) = (
+                jax.lax.scan(one_epoch, (params, opt_state, best0, params), ekeys_e)
+            )
+            return params, opt_state, losses, vms, eigs, best_val, best_params
+
+        return jax.vmap(member)(params, opt_state, ekeys)
+
+    @partial(jax.jit, static_argnums=(0, 6))
+    def _lr_sweep_members(self, params, order, lrs, train_x, train_y, num_iter):
+        """The LR range test for all members at once: one scanned sweep per
+        member lane (same batch order and lr schedule as the serial
+        ``lr_range_test``), returning raw loss traces f32[K, num_iter]."""
+        n = train_x.shape[0]
+        bs = self._batch_size
+        nb = max(n // bs, 1)
+
+        def member(p):
+            s = self.optimizer.init(p)
+
+            def it_step(carry, xs):
+                p, s = carry
+                it, lr = xs
+                b = jnp.mod(it, nb)
+                idx = jax.lax.dynamic_slice(order, (b * bs,), (bs,))
+                s = s._replace(
+                    hyperparams={**s.hyperparams, "learning_rate": lr}
+                )
+                loss, grads = jax.value_and_grad(self._member_loss)(
+                    p, train_x[idx], train_y[idx]
+                )
+                updates, s = self.optimizer.update(grads, s, p)
+                return (optax.apply_updates(p, updates), s), loss
+
+            (_, _), raw = jax.lax.scan(
+                it_step, (p, s), (jnp.arange(num_iter), lrs)
+            )
+            return raw
+
+        return jax.vmap(member)(params)
+
+    # ------------------------------------------------------------------ host
+
+    def _set_hypers(self) -> None:
+        self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            self.lr, jnp.float32
+        )
+        self.opt_state.hyperparams["weight_decay"] = jnp.asarray(
+            self.wd, jnp.float32
+        )
+
+    def _reset_member_optimizer(self, m: int) -> None:
+        fresh = self.optimizer.init(_row(self.params, m))
+        self.opt_state = _row_set(self.opt_state, m, fresh)
+
+    def _reinit_member(self, m: int) -> None:
+        self.member_keys[m], k = jax.random.split(self.member_keys[m])
+        self.params = _row_set(self.params, m, N.init_model(k, self.spec))
+        self._reset_member_optimizer(m)
+
+    def _load_best_member(self, m: int) -> bool:
+        """Member analogue of ``Trainer.load_best``: in-memory best first,
+        then the member's ``best.ckpt.npz``."""
+        if self._best_params_mem is not None and np.isfinite(self.best_val_loss[m]):
+            self.params = _row_set(self.params, m, _row(self._best_params_mem, m))
+            return True
+        path = os.path.join(self.outdirs[m], BEST_CKPT)
+        if not ckpt.checkpoint_exists(path):
+            return False
+        row, _, meta = ckpt.load_checkpoint(path, _row(self.params, m))
+        self.params = _row_set(self.params, m, row)
+        self.best_val_loss[m] = float(
+            meta.get("best_val_loss", self.best_val_loss[m])
+        )
+        return True
+
+    def _auto_lr(self, train_x, train_y, num_iter: int = 100) -> np.ndarray:
+        """Per-member LR range test with per-member ``lr.npy`` persistence
+        (reference linna/predictor_gpu.py:222-246)."""
+        lr_out = np.empty(self.n_members)
+        missing = []
+        for m, d in enumerate(self.outdirs):
+            path = os.path.join(d, "lr.npy")
+            if os.path.isfile(path):
+                lr_out[m] = float(np.load(path))
+            else:
+                missing.append(m)
+        if not missing:
+            return lr_out
+        lrs = np.geomspace(1e-4, 5e-3, num_iter)
+        order = np.random.default_rng(1234).permutation(int(train_x.shape[0]))
+        raw = np.asarray(
+            self._lr_sweep_members(
+                self.params,
+                jnp.asarray(order),
+                jnp.asarray(lrs, jnp.float32),
+                train_x,
+                train_y,
+                num_iter,
+            )
+        )
+        for m in missing:
+            lr, losses, lrs_used = smooth_and_pick_lr(lrs, raw[m])
+            lr_out[m] = lr
+            os.makedirs(self.outdirs[m], exist_ok=True)
+            np.save(os.path.join(self.outdirs[m], "lr.npy"), lr)
+            plots.plot_lr_range(
+                lrs_used, losses, os.path.join(self.outdirs[m], "lr_tunning.png")
+            )
+        return lr_out
+
+    def _save(self, epoch: int, force: bool = False) -> None:
+        if not force and epoch - self._last_disk_save < self.save_every:
+            return
+        self._last_disk_save = epoch
+        params_h = jax.device_get(self.params)
+        best_h = (
+            jax.device_get(self._best_params_mem)
+            if self._best_params_mem is not None
+            else None
+        )
+        for m, d in enumerate(self.outdirs):
+            meta = {
+                "epoch": epoch,
+                "best_val_loss": float(self.best_val_loss[m]),
+                "lr": float(self.lr[m]),
+            }
+            ckpt.save_checkpoint(
+                os.path.join(d, LAST_CKPT),
+                jax.tree.map(lambda a: a[m], params_h),
+                _row(self.opt_state, m),
+                meta,
+            )
+            if best_h is not None and self._best_dirty[m]:
+                ckpt.save_checkpoint(
+                    os.path.join(d, BEST_CKPT),
+                    jax.tree.map(lambda a: a[m], best_h),
+                    _row(self.opt_state, m),
+                    meta,
+                )
+                self._best_dirty[m] = False
+
+    def train(
+        self,
+        train_x: np.ndarray,
+        train_y: np.ndarray,
+        val_x: np.ndarray,
+        val_y: np.ndarray,
+        num_epochs: int,
+        batch_size: int,
+        initfrombest: bool = True,
+        auto_lr: bool = True,
+        lr_scale: float = 1.0,
+        epochs_per_dispatch: Optional[int] = None,
+        verbose: bool = False,
+    ) -> Tuple[list, list]:
+        """Run the supervised loop for every member; returns per-member
+        (train_losses, val_metrics) lists mirroring ``Trainer.train``."""
+        train_x = jnp.asarray(train_x, jnp.float32)
+        train_y = jnp.asarray(train_y, jnp.float32)
+        val_x = jnp.asarray(val_x, jnp.float32)
+        val_y = jnp.asarray(val_y, jnp.float32)
+        self._batch_size = min(int(batch_size), int(train_x.shape[0]))
+        if epochs_per_dispatch is not None:
+            self.epochs_per_dispatch = max(int(epochs_per_dispatch), 1)
+        for d in self.outdirs:
+            os.makedirs(d, exist_ok=True)
+
+        if auto_lr:
+            self.lr = self._auto_lr(train_x, train_y)
+        self.lr = self.lr * lr_scale
+        if initfrombest:
+            for m in range(self.n_members):
+                self._load_best_member(m)
+        self.opt_state = jax.jit(jax.vmap(self.optimizer.init))(self.params)
+        self._set_hypers()
+
+        sups = [
+            Supervisor(self.lr[m], self.wd[m], verbose=verbose, tag=f"member{m}")
+            for m in range(self.n_members)
+        ]
+        for m in range(self.n_members):
+            sups[m].best_val_loss = float(self.best_val_loss[m])
+        train_losses: List[List[float]] = [[] for _ in range(self.n_members)]
+        val_metrics: List[List[np.ndarray]] = [[] for _ in range(self.n_members)]
+        i = 0
+        last_plot = 0
+        nb = 1
+        while i < num_epochs and not all(s.stopped for s in sups):
+            k = min(self.epochs_per_dispatch, num_epochs - i)
+            ekeys = []
+            for m in range(self.n_members):
+                self.member_keys[m], ek = jax.random.split(self.member_keys[m])
+                ekeys.append(ek)
+            (
+                self.params, self.opt_state, losses_k, vms_k, eigs_k,
+                chunk_best_val, chunk_best_params,
+            ) = self._epochs_members(
+                self.params,
+                self.opt_state,
+                jnp.stack(ekeys),
+                train_x,
+                train_y,
+                val_x,
+                val_y,
+                k,
+            )
+            losses_k = np.asarray(losses_k)  # [K, k, nb]
+            vms_k = np.asarray(vms_k, dtype=np.float64)  # [K, k, 3]
+            eigs_k = np.asarray(eigs_k)  # [K, k]
+            nb = losses_k.shape[-1]
+            cbv = np.asarray(chunk_best_val, dtype=np.float64)  # [K]
+
+            improved = np.array(
+                [sups[m].observe_chunk_best(float(cbv[m])) for m in range(self.n_members)]
+            )
+            if improved.any():
+                self.best_val_loss = np.array([s.best_val_loss for s in sups])
+                if self._best_params_mem is None:
+                    self._best_params_mem = chunk_best_params
+                else:
+                    mask = jnp.asarray(improved)
+                    self._best_params_mem = jax.tree.map(
+                        lambda new, old: jnp.where(
+                            mask.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+                        ),
+                        chunk_best_params,
+                        self._best_params_mem,
+                    )
+                self._best_dirty |= improved
+
+            # host supervisors: same decision machine as the serial Trainer,
+            # one per member; params-replacing interventions write into the
+            # member's row of the stacked state
+            intervened = [False] * self.n_members
+            hyper_changed = False
+            for j in range(k):
+                for m in range(self.n_members):
+                    batch_losses = losses_k[m, j]
+                    train_losses[m].extend(batch_losses.tolist())
+                    loss = float(batch_losses[-1])
+                    vm = vms_k[m, j]
+                    val_metrics[m].append(vm)
+                    action = sups[m].step(
+                        i + j, vm, loss, float(eigs_k[m, j]), suppressed=intervened[m]
+                    )
+                    if action == "reinit":
+                        self.lr[m] = sups[m].lr
+                        self._reinit_member(m)
+                        hyper_changed = True
+                        intervened[m] = True
+                    elif action == "reload":
+                        self.lr[m] = sups[m].lr
+                        if not self._load_best_member(m):
+                            self.member_keys[m], kk = jax.random.split(
+                                self.member_keys[m]
+                            )
+                            self.params = _row_set(
+                                self.params, m, N.init_model(kk, self.spec)
+                            )
+                        self._reset_member_optimizer(m)
+                        hyper_changed = True
+                        intervened[m] = True
+                    elif action == "hyper":
+                        self.lr[m], self.wd[m] = sups[m].lr, sups[m].wd
+                        hyper_changed = True
+            if hyper_changed:
+                self._set_hypers()
+
+            i += k
+            self._save(i - 1)
+            if last_plot == 0 or i - last_plot >= 100:
+                last_plot = i
+                for m, d in enumerate(self.outdirs):
+                    plots.plot_training_progress(
+                        train_losses[m],
+                        val_metrics[m],
+                        os.path.join(d, "training_progress.png"),
+                        batches_per_epoch=max(nb, 1),
+                    )
+
+        self._save(num_epochs - 1, force=True)
+        for m, d in enumerate(self.outdirs):
+            plots.plot_training_progress(
+                train_losses[m],
+                val_metrics[m],
+                os.path.join(d, "trainniing.png"),
+                batches_per_epoch=max(nb, 1),
+            )
+        return train_losses, val_metrics

@@ -22,6 +22,7 @@ all-reduces/all-gathers on ICI.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
 import jax
@@ -30,11 +31,40 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "make_mesh",
+    "make_ensemble_mesh",
+    "member_sharding",
     "param_shardings",
     "shard_params",
     "batch_sharding",
     "replicated",
 ]
+
+
+def make_ensemble_mesh(n_members: int, devices: Optional[Sequence] = None) -> Mesh:
+    """('ens', 'data') mesh for stacked ensemble-member training: the member
+    axis is sized ``gcd(n_members, n_devices)`` so the stacked member
+    dimension shards evenly, and the remaining devices form the
+    data-parallel axis used for intra-member batch sharding.
+
+    Examples on 8 devices: K=4 -> ('ens': 4, 'data': 2) — each member on its
+    own 2-chip data-parallel group; K=1 -> ('ens': 1, 'data': 8) — pure data
+    parallelism (the DDP the reference scaffolded but never activated,
+    linna/predictor_gpu.py:264-267)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    n = devices.size
+    ens = math.gcd(int(n_members), n)
+    return Mesh(devices.reshape(ens, n // ens), ("ens", "data"))
+
+
+def member_sharding(mesh: Mesh, tree):
+    """NamedSharding pytree putting every stacked leaf's leading (member)
+    axis on 'ens' and replicating the rest."""
+    return jax.tree.map(
+        lambda leaf: NamedSharding(mesh, P("ens", *([None] * (leaf.ndim - 1)))),
+        tree,
+    )
 
 
 def make_mesh(

@@ -93,12 +93,20 @@ class MPIPool:
     _REUSE = "__noduplicate__"
     _RESET = "__reset__"
 
-    def __init__(self):
-        try:
-            from mpi4py import MPI
-        except ImportError as e:  # pragma: no cover - environment dependent
-            raise ImportError("MPIPool requires mpi4py") from e
-        self.comm = MPI.COMM_WORLD
+    def __init__(self, comm=None, mpi=None):
+        """``comm``/``mpi`` are injectable for testing the master/worker
+        protocol with a fake communicator (no mpi4py ranks needed): ``comm``
+        must duck-type ``Get_rank``/``Get_size``/``send``/``recv`` and
+        ``mpi`` must expose ``Status``/``ANY_SOURCE``/``ANY_TAG``."""
+        if comm is None or mpi is None:
+            try:
+                from mpi4py import MPI
+            except ImportError as e:  # pragma: no cover - environment dependent
+                raise ImportError("MPIPool requires mpi4py") from e
+            mpi = mpi if mpi is not None else MPI
+            comm = comm if comm is not None else MPI.COMM_WORLD
+        self._mpi = mpi
+        self.comm = comm
         self.rank = self.comm.Get_rank()
         self.size = self.comm.Get_size()
         if self.size < 2:
@@ -124,8 +132,10 @@ class MPIPool:
             in_flight[w] = next_task
             next_task += 1
         while in_flight:
-            status = _mpi_status()
-            result = self.comm.recv(source=_mpi_any_source(), tag=_mpi_any_tag(), status=status)
+            status = self._mpi.Status()
+            result = self.comm.recv(
+                source=self._mpi.ANY_SOURCE, tag=self._mpi.ANY_TAG, status=status
+            )
             w = status.Get_source()
             results[status.Get_tag()] = result
             if next_task < len(tasks):
@@ -160,9 +170,9 @@ class MPIPool:
     def wait(self) -> None:
         """Worker loop: execute tasks until shutdown."""
         old_func = None
-        status = _mpi_status()
+        status = self._mpi.Status()
         while True:
-            payload = self.comm.recv(source=0, tag=_mpi_any_tag(), status=status)
+            payload = self.comm.recv(source=0, tag=self._mpi.ANY_TAG, status=status)
             if payload is None:
                 break
             func, arg = payload
@@ -183,24 +193,6 @@ class MPIPool:
         if self.is_master():
             for w in range(1, self.size):
                 self.comm.send(None, dest=w, tag=0)
-
-
-def _mpi_status():
-    from mpi4py import MPI
-
-    return MPI.Status()
-
-
-def _mpi_any_source():
-    from mpi4py import MPI
-
-    return MPI.ANY_SOURCE
-
-
-def _mpi_any_tag():
-    from mpi4py import MPI
-
-    return MPI.ANY_TAG
 
 
 def make_pool(kind: str = "serial", processes: int | None = None):

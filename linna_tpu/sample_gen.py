@@ -22,6 +22,8 @@ from typing import Callable, Optional, Sequence
 
 import numpy as np
 
+from .data import sample_x_path, sample_y_path
+
 __all__ = ["NNSampler", "generate_training_point", "make_positive_definite", "lhs_center"]
 
 
@@ -38,14 +40,19 @@ def lhs_center(n_dim: int, n_samples: int, rng: np.random.Generator) -> np.ndarr
 
 
 def make_positive_definite(matrix: np.ndarray, keep: float = 0.99) -> np.ndarray:
-    """Eigen-clip a symmetric matrix to PSD keeping ``keep`` of the cumulative
-    spectrum (reference linna/util.py:38-48)."""
+    """Eigen-floor a symmetric matrix to positive definite (reference
+    ``makepositivedefinite``, linna/util.py:38-49): negatives zeroed, then
+    every eigenvalue from the one closest to the ``keep`` cumulative-spectrum
+    point onward is FLOORED at that eigenvalue — the tail is regularized, not
+    truncated, so the inverse (used as a proposal covariance,
+    linna/util.py:1239-1243) stays well-conditioned."""
     vals, vecs = np.linalg.eigh(matrix)
-    order = np.argsort(vals)[::-1]
-    vals, vecs = vals[order], vecs[:, order]
-    total = np.sum(np.abs(vals))
-    cum = np.cumsum(np.abs(vals)) / total
-    vals = np.where((cum <= keep) | (np.arange(len(vals)) == 0), np.abs(vals), np.abs(vals).max() * 1e-12)
+    vals, vecs = vals[::-1], vecs[:, ::-1]
+    vals = np.maximum(vals, 0.0)
+    cum = np.cumsum(vals)
+    cum = cum / cum.max()
+    ind = int(np.argmin(np.abs(cum - keep)))
+    vals[ind:] = vals[ind]
     return (vecs * vals) @ vecs.T
 
 
@@ -61,7 +68,10 @@ def _apply_omegab2cut(samples: np.ndarray, omegab2cut: Optional[Sequence]) -> np
         keep &= (samples[:, omegab2cut[4]] > omegab2cut[5]) & (
             samples[:, omegab2cut[4]] < omegab2cut[6]
         )
-    if len(omegab2cut) > 6:
+    # second extra window gated at > 7 (not the reference's > 6, which
+    # IndexErrors on a 7-element one-extra-window list; identical behavior
+    # for the reference's valid 4- and 10-element inputs)
+    if len(omegab2cut) > 7:
         keep &= (samples[:, omegab2cut[7]] > omegab2cut[8]) & (
             samples[:, omegab2cut[7]] < omegab2cut[9]
         )
@@ -246,14 +256,14 @@ def generate_training_point(
         raise ValueError(f"options={options} not recognized")
 
     for name, n in (("train", ntrain), ("val", nval)):
-        xpath = os.path.join(outdir, f"{name}_samples_x.txt")
+        xpath = sample_x_path(outdir, name)
         if not os.path.isfile(xpath):
             np.savetxt(xpath, _gen(n))
 
     for name in ("train", "val"):
-        ypath = os.path.join(outdir, f"{name}_samples_y.npy")
+        ypath = sample_y_path(outdir, name)
         if not os.path.isfile(ypath):
-            x = np.loadtxt(os.path.join(outdir, f"{name}_samples_x.txt"))
+            x = np.loadtxt(sample_x_path(outdir, name))
             scratch = os.path.join(outdir, name)
             os.makedirs(scratch, exist_ok=True)
             y = nnsampler.generate_training_data(
@@ -273,8 +283,8 @@ def generate_training_point(
                 data,
                 invcov,
                 chisqcut,
-                os.path.join(outdir, f"{name}_samples_y.npy"),
-                os.path.join(outdir, f"{name}_samples_x.txt"),
+                sample_y_path(outdir, name),
+                sample_x_path(outdir, name),
             )
 
 
@@ -286,9 +296,9 @@ def _generate_best_points(
     from scipy.optimize import minimize
     from scipy.stats import multivariate_normal
 
-    bx_path = os.path.join(outdir, "best_samples_x.txt")
+    bx_path = sample_x_path(outdir, "best")
     if not os.path.isfile(bx_path):
-        train_x = np.loadtxt(os.path.join(outdir, "train_samples_x.txt"))
+        train_x = np.loadtxt(sample_x_path(outdir, "train"))
         best = minimize(negloglike, train_x[0], method="Nelder-Mead", tol=1e-6).x
         hess = _numerical_hessian(negloglike, best)
         inv_hess = np.linalg.inv(make_positive_definite(hess))
@@ -296,11 +306,11 @@ def _generate_best_points(
         np.savetxt(bx_path, np.atleast_2d(bestx))
         n_val = max(int(nbest_in / ntrain * nval), 1)
         bestx_val = multivariate_normal.rvs(mean=best, cov=inv_hess, size=n_val)
-        np.savetxt(os.path.join(outdir, "best_val_samples_x.txt"), np.atleast_2d(bestx_val))
+        np.savetxt(sample_x_path(outdir, "best_val"), np.atleast_2d(bestx_val))
     for name in ("best", "best_val"):
-        ypath = os.path.join(outdir, f"{name}_samples_y.npy")
+        ypath = sample_y_path(outdir, name)
         if not os.path.isfile(ypath):
-            x = np.atleast_2d(np.loadtxt(os.path.join(outdir, f"{name}_samples_x.txt")))
+            x = np.atleast_2d(np.loadtxt(sample_x_path(outdir, name)))
             with tempfile.TemporaryDirectory() as tmp:
                 y = nnsampler.generate_training_data(
                     zip(range(len(x)), x), theory, pool=pool, args=[tmp]

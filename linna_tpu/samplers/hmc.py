@@ -66,6 +66,7 @@ class NUTSState(NamedTuple):
     log_eps_bar: jax.Array  # f32[W]
     m: jax.Array  # f32[W] adaptation step counter
     m_adapt: jax.Array  # i32[] number of adaptation steps remaining
+    accepted: jax.Array  # f32[W] cumulative mean-alpha (expected acceptances)
 
 
 def _value_and_grad_batched(log_prob_fn):
@@ -93,15 +94,26 @@ def _kinetic(r, inv_mass):
 # --------------------------------------------------------------------- HMC
 
 
-def init_hmc_state(key, x0, log_prob_fn, epsilon: float = 0.1) -> HMCState:
+def init_hmc_state(
+    key, x0, log_prob_fn, epsilon: float | None = None
+) -> HMCState:
+    """``epsilon=None`` (default) runs the per-walker reasonable-epsilon
+    search (H&G Alg. 4, reference linna/sampler.py:151-186) — the reference
+    only did this for NUTS, leaving HMC with a fixed step that is fragile
+    without Hessian whitening."""
     x0 = jnp.asarray(x0, jnp.float32)
     lp = log_prob_fn(x0)
     w = x0.shape[0]
+    if epsilon is None:
+        key, k_eps = jax.random.split(key)
+        eps = find_reasonable_epsilon(k_eps, x0, log_prob_fn)
+    else:
+        eps = jnp.full((w,), epsilon, jnp.float32)
     return HMCState(
         x0,
         lp,
         key,
-        jnp.full((w,), epsilon, jnp.float32),
+        eps,
         jnp.zeros((w,), jnp.int32),
     )
 
@@ -351,6 +363,7 @@ def init_nuts_state(
         jnp.zeros((w,)),
         jnp.ones((w,)),
         jnp.asarray(m_adapt, jnp.int32),
+        jnp.zeros((w,)),
     )
 
 
@@ -412,6 +425,10 @@ def nuts_chunk(
             log_eps_bar,
             state.m + jnp.where(adapting, 1.0, 0.0),
             jnp.maximum(state.m_adapt - 1, 0),
+            # expected acceptances: mean Metropolis alpha over the sample's
+            # leapfrog trajectory — the statistic the HDF5 'accepted'
+            # dataset records for NUTS (H&G Alg. 6's alpha/n_alpha)
+            state.accepted + alpha,
         )
         return new_state, (x_new, lp_new)
 

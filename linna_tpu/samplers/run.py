@@ -100,17 +100,32 @@ def run_ensemble(
         precond = precondition.calc_hess_mass_mat(log_prob_fn, np.mean(x0, axis=0))
         log_prob_fn = precond.wrap_log_prob(log_prob_fn)
 
+    # In-memory chain window: only the most recent ~tau_window steps are kept
+    # on the host (the HDF5 backend persists the full chain).  Both the tau
+    # estimate and the split-half stationarity test operate on trailing
+    # windows, and the tau*ntimes < iteration criterion only needs the step
+    # count — so a rolling buffer gives identical convergence decisions with
+    # O(tau_window) memory instead of O(iteration) and no per-check O(n)
+    # re-concatenation of the full history.
+    rolling: list = []
+    rolling_len = 0
+
+    def _push(chunk: np.ndarray) -> int:
+        nonlocal rolling_len
+        rolling.append(chunk)
+        rolling_len += len(chunk)
+        while rolling and rolling_len - len(rolling[0]) >= tau_window:
+            rolling_len -= len(rolling[0])
+            rolling.pop(0)
+        return rolling_len
+
     resume = backend.initialized
-    chain_parts = []
-    lp_parts = []
     iteration = 0
     if resume:
         x0 = np.asarray(backend.get_last_sample(), dtype=np.float32)
-        prev_chain = backend.get_chain()
-        prev_lp = backend.get_log_prob()
-        chain_parts.append(np.asarray(prev_chain))
-        lp_parts.append(np.asarray(prev_lp))
+        prev_chain = np.asarray(backend.get_chain())
         iteration = len(prev_chain)
+        _push(prev_chain[-tau_window:])
     elif method == "emcee":
         backend.reset(nwalkers, ndim)
         # burn-in with restart from the high-probability set
@@ -179,7 +194,9 @@ def run_ensemble(
                 state, chain, lps = hmc.nuts_chunk(
                     log_prob_fn, state, check_every, max_depth
                 )
-                acc = prev_accepted + nwalkers  # every NUTS sample moves
+                # expected acceptances: cumulative mean Metropolis alpha per
+                # walker (H&G Alg. 6) — the real statistic, not a constant
+                acc = np.asarray(state.accepted, dtype=np.float64)
             # store in the original (whitened-prior) space
             chain = np.asarray(chain, np.float64)
             chain = precond.to_original(chain.reshape(-1, ndim)).reshape(chain.shape)
@@ -199,39 +216,40 @@ def run_ensemble(
             backend.append(
                 np.asarray(chain, np.float64), np.asarray(lps, np.float64), transform=tfn
             )
-        chain_parts.append(np.asarray(chain))
-        lp_parts.append(np.asarray(lps))
+        _push(np.asarray(chain))
         iteration += check_every
         n_chunks_done += 1
 
-        full_chain = np.concatenate(chain_parts)
-        # Cap the autocorrelation estimation window: the FFT cost per check
-        # grows O(n log n) with chain length, and tau estimated over the most
-        # recent ``tau_window`` steps is what the stationarity criteria need
-        # anyway (the tau*ntimes < iteration test still uses the full count).
-        tau_chain = full_chain[-tau_window:]
+        # tau is estimated over at most the trailing ``tau_window`` steps —
+        # that caps both the per-check FFT cost (O(n log n) in window size)
+        # and host memory; the tau*ntimes < iteration test uses the full
+        # persisted step count.
+        recent = np.concatenate(rolling) if len(rolling) > 1 else rolling[0]
         if method != "zeus":
-            tau = convergence.integrated_time(tau_chain)
+            tau = convergence.integrated_time(recent[-tau_window:])
             if np.isnan(np.sum(tau)) and iteration > 10:
                 break
             converged = bool(np.all(tau * ntimes < iteration))
             converged &= bool(np.all(np.abs(old_tau - tau) / tau < tautol))
             window = max(int(nk * np.mean(tau)), 2)
             converged &= convergence.check_mean_std(
-                full_chain[-window:], meanshift, stdshift
+                recent[-window:], meanshift, stdshift
             )
         else:
             # zeus path: scalar mean tau over the chain minus 20% burn-in
-            # (linna/sampler.py:682-691, discard=0.2)
-            tau_arr = convergence.integrated_time(
-                full_chain[int(0.2 * len(full_chain)) :][-tau_window:]
-            )
+            # (linna/sampler.py:682-691, discard=0.2).  The burn-in cut is
+            # applied exactly: steps older than the in-memory window are all
+            # pre-burn-in once 0.8*iteration exceeds the window.
+            burn = int(0.2 * iteration)
+            behind = iteration - len(recent)  # older steps, not in memory
+            drop = max(0, burn - behind)
+            tau_arr = convergence.integrated_time(recent[drop:][-tau_window:])
             tau = float(np.mean(tau_arr))
             converged = tau * ntimes < iteration
             converged &= bool(np.abs(old_tau - tau) / tau < tautol)
             window = max(int(nk * tau), 2)
             converged &= convergence.check_mean_std(
-                full_chain[-window:], meanshift, stdshift
+                recent[-window:], meanshift, stdshift
             )
         if progress:
             print(

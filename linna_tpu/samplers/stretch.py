@@ -23,7 +23,7 @@ from typing import Callable, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["EnsembleState", "init_state", "stretch_chunk", "make_stretch_chunk"]
+__all__ = ["EnsembleState", "init_state", "stretch_chunk"]
 
 
 class EnsembleState(NamedTuple):
@@ -94,12 +94,3 @@ def stretch_chunk(
 
     state, (chain, lps) = jax.lax.scan(step, state, None, length=nsteps)
     return state, chain, lps
-
-
-def make_stretch_chunk(log_prob_fn, nsteps: int, a: float = 2.0):
-    """Convenience closure binding the static arguments once."""
-
-    def run(state: EnsembleState):
-        return stretch_chunk(log_prob_fn, state, nsteps, a)
-
-    return run

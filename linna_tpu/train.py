@@ -42,7 +42,7 @@ from .transforms import TransformSet
 from .utils import checkpoint as ckpt
 from .utils import plots
 
-__all__ = ["EarlyStopping", "Trainer", "lr_range_test"]
+__all__ = ["EarlyStopping", "Trainer", "lr_range_test", "Supervisor"]
 
 LAST_CKPT = "last.ckpt.npz"
 BEST_CKPT = "best.ckpt.npz"
@@ -131,6 +131,156 @@ class EarlyStopping:
         return 2 if self.num_bad_epochs >= self.patience else 0
 
 
+class Supervisor:
+    """Host-side per-model training supervisor: turns per-epoch metrics into
+    the reference's pathology-recovery decisions.  A pure decision machine —
+    callers apply the returned action to device state — so the serial
+    :class:`Trainer` and the mesh-parallel
+    :class:`linna_tpu.parallel.ensemble.EnsembleTrainer` share identical
+    recovery logic.
+
+    Actions returned by :meth:`step`:
+
+    - ``"none"``   — keep training;
+    - ``"hyper"``  — ``self.lr``/``self.wd`` changed (EarlyStopping codes 1/3,
+      reference linna/predictor_gpu.py:374-401); caller re-injects them;
+    - ``"reinit"`` — reinitialize weights + reset optimizer (flat-start
+      detector linna/predictor_gpu.py:319-335, or output collapse);
+    - ``"reload"`` — reload best params (fallback: reinit) + reset optimizer
+      (NaN/spike recovery linna/predictor_gpu.py:339-373, or late stall);
+    - ``"stop"``   — early stop.
+
+    ``vm`` rows passed to :meth:`step` are mutated in place when the spike
+    detector clamps the recorded metric (linna/predictor_gpu.py:369-371).
+    """
+
+    def __init__(
+        self,
+        lr: float,
+        wd: float = 1e-4,
+        patience: int = 500,
+        verbose: bool = False,
+        tag: str = "",
+    ):
+        self.es = EarlyStopping(patience=patience)
+        self.lr = float(lr)
+        self.wd = float(wd)
+        self.old = 0.0
+        self.told = 0.0
+        self.best_val_loss = float("inf")
+        self.stopped = False
+        self.verbose = verbose
+        self.tag = tag
+        self.val_hist: List[float] = []
+
+    def _say(self, msg: str) -> None:
+        if self.verbose:
+            prefix = f"[{self.tag}] " if self.tag else ""
+            print(prefix + msg, flush=True)
+
+    def observe_chunk_best(self, chunk_best_val: float) -> bool:
+        """Record the best validation metric seen inside a dispatch chunk;
+        returns True when it improves on the running best (and the member is
+        still training)."""
+        if self.stopped or not chunk_best_val < self.best_val_loss:
+            return False
+        self.best_val_loss = float(chunk_best_val)
+        return True
+
+    def step(
+        self,
+        ep: int,
+        vm: np.ndarray,
+        loss: float,
+        min_eig: float,
+        suppressed: bool = False,
+    ) -> str:
+        """Decide on epoch ``ep`` given its val-metric row ``vm``, last-batch
+        train ``loss`` and collapse diagnostic ``min_eig``.  ``suppressed``
+        marks epochs after a params-replacing intervention within the same
+        dispatch chunk (their trajectory is discarded; only the metric
+        history is kept)."""
+        val0 = float(vm[0])
+        self.val_hist.append(val0)
+        if suppressed or self.stopped:
+            self.old, self.told = val0, loss
+            return "none"
+
+        recent = self.val_hist[-10:]
+        flat_start = (
+            ep >= 10
+            and ep < 120
+            and ep % 10 == 0
+            and np.std(recent) < 0.01 * np.mean(recent)
+        )
+        # Output collapse (dead ReLU output stage) never recovers by gradient
+        # descent — reinit on a rank-deficient prediction correlation; a late
+        # stall far above the best reloads it (this framework's additions).
+        collapsed = (
+            min_eig < 1e-6
+            and ep % 10 == 0
+            and ep >= 10
+            and val0 > 2.0 * self.best_val_loss
+        )
+        late_stall = (
+            ep >= 120
+            and ep % 50 == 0
+            and self.best_val_loss < np.inf
+            and val0 > 3.0 * self.best_val_loss
+            and np.std(recent) < 0.01 * np.mean(recent)
+        )
+        # --- flat-start detector (linna/predictor_gpu.py:319-335) +
+        #     collapse/stall escapes
+        if flat_start or collapsed:
+            self._say(
+                f"bad training restart at epoch {ep} "
+                f"({'collapse' if collapsed else 'flat start'})"
+            )
+            if ep > 10 and self.lr > 2e-4:
+                self.lr = max(self.lr / 2.0, MIN_LR)
+            return "reinit"
+        if late_stall:
+            self._say(f"late stall at epoch {ep}: reload best")
+            return "reload"
+        # --- NaN / loss-spike recovery (linna/predictor_gpu.py:339-373)
+        if (
+            np.isnan(val0)
+            or val0 > 1e10
+            or (ep != 0 and val0 - self.old > 5 * self.old)
+            or (ep != 0 and loss - self.told > 5 * self.told)
+        ):
+            if (
+                np.isnan(val0) or val0 > 1e10 or val0 - self.old > 10 * self.old
+            ) and ep > 10:
+                if self.lr > MIN_LR:
+                    self.lr = self.lr / 2.0
+            if not np.isnan(val0) and val0 - self.old > 5 * self.old:
+                vm[0] = self.old
+                self.val_hist[-1] = self.old
+            return "reload"
+
+        action = self.es.step(val0, loss)
+        out = "none"
+        if action == 1:
+            if self.lr > MIN_LR:
+                self.lr /= 2.0
+                self.wd /= 2.0
+                out = "hyper"
+            else:
+                self.es.cooling = 0
+        elif action == 2:
+            self._say(f"early stop at epoch {ep} (lr={self.lr:g})")
+            self.stopped = True
+            out = "stop"
+        elif action == 3:
+            if self.wd < 1.0:
+                self.wd *= 2.0
+                out = "hyper"
+        if out != "stop":
+            self.old, self.told = val0, loss
+        return out
+
+
 def _make_optimizer() -> optax.GradientTransformation:
     return optax.inject_hyperparams(optax.adamw)(
         learning_rate=1e-4, weight_decay=1e-4
@@ -179,67 +329,19 @@ class Trainer:
         return L.loss_fn(self.loss_state, self.transforms, pred, by)
 
     @partial(jax.jit, static_argnums=(0, 8), donate_argnums=(1, 2))
-    def _epochs(
+    def _epochs_tracked(
         self, params, opt_state, key, train_x, train_y, val_x, val_y, n_epochs
     ):
         """``n_epochs`` full epochs as ONE device program (scan over epochs,
         scan over minibatches inside) — one host round trip per chunk
         instead of per epoch (measured on a tunneled v5e: ~0.15 s/epoch of
         host sync vs ~7 ms/epoch of compute for the DES-scale model).
-        Returns per-epoch (last-batch losses, val metrics, min eigs)."""
-        n = train_x.shape[0]
-        bs = self._batch_size
-        nb = max(n // bs, 1)
-
-        def one_epoch(carry, ekey):
-            params, opt_state = carry
-            perm = jax.random.permutation(ekey, n)[: nb * bs].reshape(nb, bs)
-
-            def step(carry, idx):
-                params, opt_state = carry
-                loss, grads = jax.value_and_grad(self._loss)(
-                    params, train_x[idx], train_y[idx]
-                )
-                updates, opt_state = self.optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), loss
-
-            (params, opt_state), batch_losses = jax.lax.scan(
-                step, (params, opt_state), perm
-            )
-            val_pred = N.apply_model(
-                self.spec, params, self.transforms.x_transform(val_x)
-            )
-            val_metric = L.val_metric_fn(
-                self.loss_state, self.transforms, val_pred, val_y
-            )
-            # Output-collapse diagnostic: the ReLU trunk can die into a
-            # constant or rank-deficient output subspace, which stalls
-            # training permanently.  The smallest eigenvalue of the
-            # prediction correlation matrix is ~0 in that state and O(1)
-            # healthy.  Only a risk (and only computed) for small outputs.
-            if self.spec.out_size <= 16:
-                centered = val_pred - jnp.mean(val_pred, axis=0)
-                denom = jnp.sqrt(jnp.mean(centered**2, axis=0)) + 1e-20
-                corr = (centered / denom).T @ (centered / denom) / val_pred.shape[0]
-                min_eig = jnp.linalg.eigvalsh(corr)[0]
-            else:
-                min_eig = jnp.asarray(1.0)
-            return (params, opt_state), (batch_losses, val_metric, min_eig)
-
-        ekeys = jax.random.split(key, n_epochs)
-        (params, opt_state), (losses, val_metrics, min_eigs) = jax.lax.scan(
-            one_epoch, (params, opt_state), ekeys
-        )
-        return params, opt_state, losses, val_metrics, min_eigs
-
-    @partial(jax.jit, static_argnums=(0, 8), donate_argnums=(1, 2))
-    def _epochs_tracked(
-        self, params, opt_state, key, train_x, train_y, val_x, val_y, n_epochs
-    ):
-        """Like :meth:`_epochs` but also tracks the best-validation params
-        *within the chunk* on device, so chunked dispatch loses no
-        best-checkpoint granularity."""
+        Tracks the best-validation params *within the chunk* on device, so
+        chunked dispatch loses no best-checkpoint granularity.  The min-eig
+        output is an output-collapse diagnostic: the ReLU trunk can die into
+        a rank-deficient output subspace (min eig of the prediction
+        correlation ~0) which never recovers by gradient descent; only a
+        risk (and only computed) for small outputs."""
         n = train_x.shape[0]
         bs = self._batch_size
         nb = max(n // bs, 1)
@@ -389,15 +491,13 @@ class Trainer:
             self.load_best()
         self._reset_optimizer()
 
-        es = EarlyStopping(patience=500)
+        sup = Supervisor(self.lr, self.wd, verbose=verbose)
+        sup.best_val_loss = self.best_val_loss
         train_losses: List[float] = []
         val_metrics: List[np.ndarray] = []
-        old = 0.0
-        told = 0.0
-        stop = False
         i = 0
         last_plot = 0
-        while i < num_epochs and not stop:
+        while i < num_epochs and not sup.stopped:
             k = min(self.epochs_per_dispatch, num_epochs - i)
             self.key, ekey = jax.random.split(self.key)
             (
@@ -409,9 +509,8 @@ class Trainer:
             losses_k = np.asarray(losses_k)
             vms_k = np.asarray(vms_k, dtype=np.float64)
             eigs_k = np.asarray(eigs_k)
-            chunk_best_val = float(chunk_best_val)
-            if chunk_best_val < self.best_val_loss:
-                self.best_val_loss = chunk_best_val
+            if sup.observe_chunk_best(float(chunk_best_val)):
+                self.best_val_loss = sup.best_val_loss
                 # fresh jit output — not aliased to donated buffers
                 self._best_params_mem = chunk_best_params
                 self._best_dirty = True
@@ -422,111 +521,28 @@ class Trainer:
             # cadence matches the reference's per-epoch checks in practice)
             intervened = False
             for j in range(k):
-                ep = i + j
                 batch_losses = losses_k[j]
                 train_losses.extend(batch_losses.tolist())
                 loss = float(batch_losses[-1])
                 vm = vms_k[j]
                 val_metrics.append(vm)
-                val0 = float(vm[0])
-                if intervened or stop:
-                    # a params-replacing intervention already fired in this
-                    # chunk: keep the metric history, suppress further actions
-                    old, told = val0, loss
-                    continue
-
-                flat_start = (
-                    ep >= 10
-                    and ep < 120
-                    and ep % 10 == 0
-                    and np.std([m[0] for m in val_metrics[-10:]])
-                    < 0.01 * np.mean([m[0] for m in val_metrics[-10:]])
+                action = sup.step(
+                    i + j, vm, loss, float(eigs_k[j]), suppressed=intervened
                 )
-                # Output collapse (dead ReLU output stage) never recovers by
-                # gradient descent — reinit on a rank-deficient prediction
-                # correlation; a late stall far above the best reloads it.
-                collapsed = (
-                    float(eigs_k[j]) < 1e-6
-                    and ep % 10 == 0
-                    and ep >= 10
-                    and val0 > 2.0 * self.best_val_loss
-                )
-                late_stall = (
-                    ep >= 120
-                    and ep % 50 == 0
-                    and self.best_val_loss < np.inf
-                    and val0 > 3.0 * self.best_val_loss
-                    and np.std([m[0] for m in val_metrics[-10:]])
-                    < 0.01 * np.mean([m[0] for m in val_metrics[-10:]])
-                )
-                # --- flat-start detector (linna/predictor_gpu.py:319-335) +
-                #     collapse/stall escapes (this framework's additions)
-                if flat_start or collapsed:
-                    if verbose:
-                        why = "collapse" if collapsed else "flat start"
-                        print(f"bad training restart at epoch {ep} ({why})", flush=True)
+                if action == "reinit":
                     self._reinit_weights()
-                    if ep > 10 and self.lr > 2e-4:
-                        self.lr = max(self.lr / 2.0, MIN_LR)
+                    self.lr = sup.lr
                     self._reset_optimizer()
                     intervened = True
-                    continue
-                elif late_stall:
-                    if verbose:
-                        print(f"late stall at epoch {ep}: reload best", flush=True)
+                elif action == "reload":
                     if not self.load_best():
                         self._reinit_weights()
+                    self.lr = sup.lr
                     self._reset_optimizer()
                     intervened = True
-                    continue
-                # --- NaN / loss-spike recovery (linna/predictor_gpu.py:339-373)
-                elif (
-                    np.isnan(val0)
-                    or val0 > 1e10
-                    or (ep != 0 and val0 - old > 5 * old)
-                    or (ep != 0 and loss - told > 5 * told)
-                ):
-                    if not self.load_best():
-                        self._reinit_weights()
-                    if (
-                        np.isnan(val0) or val0 > 1e10 or val0 - old > 10 * old
-                    ) and ep > 10:
-                        if self.lr > MIN_LR:
-                            self.lr = self.lr / 2.0
-                    self._reset_optimizer()
-                    if not np.isnan(val0) and val0 - old > 5 * old:
-                        vm[0] = old
-                        val0 = old
-                    intervened = True
-                    continue
-                else:
-                    action = es.step(val0, loss)
-                    if action == 1:
-                        if self.lr > MIN_LR:
-                            self.lr /= 2.0
-                            self.wd /= 2.0
-                            self.opt_state = _set_hyper(
-                                self.opt_state, self.lr, self.wd
-                            )
-                        else:
-                            es.cooling = 0
-                    elif action == 2:
-                        if verbose:
-                            print(
-                                f"early stop at epoch {ep} (lr={self.lr:g})",
-                                flush=True,
-                            )
-                        stop = True
-                        continue
-                    elif action == 3:
-                        if self.wd < 1.0:
-                            self.wd *= 2.0
-                            self.opt_state = _set_hyper(
-                                self.opt_state, self.lr, self.wd
-                            )
-
-                old = val0
-                told = loss
+                elif action == "hyper":
+                    self.lr, self.wd = sup.lr, sup.wd
+                    self.opt_state = _set_hyper(self.opt_state, self.lr, self.wd)
 
             i += k
             self._save(i - 1, False)
@@ -596,8 +612,7 @@ def lr_range_test(
     rng = np.random.default_rng(1234)
     order = rng.permutation(n)
 
-    losses: List[float] = []
-    best_loss = np.inf
+    raw: List[float] = []
     for it in range(num_iter):
         opt_state = _set_hyper(opt_state, float(lrs[it]), 1e-4)
         b = it % nb
@@ -605,20 +620,41 @@ def lr_range_test(
         params, opt_state, loss = trainer._train_step(
             params, opt_state, train_x[idx], train_y[idx]
         )
-        loss = float(loss)
-        if it > 0:
+        raw.append(float(loss))
+
+    lr, losses, lrs_used = smooth_and_pick_lr(lrs, raw, smooth_f, diverge_th)
+    if outdir is not None:
+        os.makedirs(outdir, exist_ok=True)
+        np.save(os.path.join(outdir, "lr.npy"), lr)
+        # reference's LRFinder diagnostic (linna/predictor_gpu.py:230)
+        plots.plot_lr_range(lrs_used, losses, os.path.join(outdir, "lr_tunning.png"))
+    return lr
+
+
+def smooth_and_pick_lr(
+    lrs: np.ndarray,
+    raw_losses,
+    smooth_f: float = 0.05,
+    diverge_th: float = 5.0,
+):
+    """Exponentially smooth a raw LR-sweep loss trace, truncate at the
+    divergence threshold, and pick the lr at the steepest smoothed-loss
+    descent.  The skip_start=10/skip_end=5 warmup trim follows
+    torch_lr_finder's plotting convention — without it the argmin degenerates
+    to the first few samples where the smoothing lag dominates the gradient.
+    Shared by the serial and the mesh-parallel member sweeps so both pick
+    identically.  Returns (lr, smoothed_losses, truncated_lrs)."""
+    losses: List[float] = []
+    best_loss = np.inf
+    for i, loss in enumerate(np.asarray(raw_losses, dtype=np.float64)):
+        if i > 0:
             loss = smooth_f * loss + (1 - smooth_f) * losses[-1]
         if loss < best_loss:
             best_loss = loss
-        losses.append(loss)
+        losses.append(float(loss))
         if loss > diverge_th * best_loss:
-            lrs = lrs[: len(losses)]
             break
-
-    # steepest smoothed-loss descent, skipping the warmup transient where the
-    # exponential smoothing lag dominates the gradient (torch_lr_finder's
-    # skip_start=10/skip_end=5 plotting convention; without this the argmin
-    # degenerates to the first few samples and picks start_lr).
+    lrs = np.asarray(lrs)[: len(losses)]
     skip_start, skip_end = 10, 5
     window = np.array(losses[skip_start : len(losses) - skip_end])
     if len(window) >= 3:
@@ -628,9 +664,4 @@ def lr_range_test(
     lr = float(lrs[pick])
     if lr > 1.0:
         lr = lr / 100.0
-    if outdir is not None:
-        os.makedirs(outdir, exist_ok=True)
-        np.save(os.path.join(outdir, "lr.npy"), lr)
-        # reference's LRFinder diagnostic (linna/predictor_gpu.py:230)
-        plots.plot_lr_range(lrs, losses, os.path.join(outdir, "lr_tunning.png"))
-    return lr
+    return lr, losses, lrs

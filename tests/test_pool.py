@@ -1,0 +1,272 @@
+"""Host pool layer (pool.py): serial/multiprocess maps, the MPI master/worker
+protocol against a fake communicator (no mpi4py ranks needed), the
+``noduplicate`` function-broadcast optimization
+(reference linna/util.py:100-289), and one pipeline run through a real
+``MultiprocessPool``."""
+
+import os
+from collections import deque
+
+import numpy as np
+
+from linna_tpu.pool import MPIPool, MultiprocessPool, SerialPool, make_pool
+from linna_tpu.sample_gen import NNSampler, _TheoryTask
+
+
+def _square(x):
+    return x * x
+
+
+def _identity_theory(task, outdir):
+    """Picklable theory callable: returns the parameter vector."""
+    i, x = task
+    return np.asarray(x, np.float64).copy()
+
+
+# ----------------------------------------------------------- fake MPI plumbing
+
+
+class _FakeStatus:
+    def __init__(self):
+        self._source = None
+        self._tag = None
+
+    def Get_source(self):
+        return self._source
+
+    def Get_tag(self):
+        return self._tag
+
+
+class _FakeMPI:
+    ANY_SOURCE = -1
+    ANY_TAG = -1
+    Status = _FakeStatus
+
+
+class _FakeMasterComm:
+    """Single-process master-side communicator: ``send`` executes the worker
+    protocol inline (per-worker ``old_func`` state for noduplicate) and
+    queues replies that ``recv`` then drains — enough to drive ``MPIPool.map``
+    / ``bcast`` / ``noduplicate_close`` without MPI."""
+
+    def __init__(self, size=3):
+        self._size = size
+        self._replies = deque()
+        self._worker_func = {w: None for w in range(1, size)}
+        self.func_transmissions = 0
+        self.bcast_calls = []
+        self.shutdown = set()
+
+    def Get_rank(self):
+        return 0
+
+    def Get_size(self):
+        return self._size
+
+    def send(self, payload, dest, tag):
+        if payload is None:
+            self.shutdown.add(dest)
+            return
+        func, arg = payload
+        if func == MPIPool._RESET:
+            self._worker_func[dest] = None
+            return
+        if func == "__bcast__":
+            f, a = arg
+            self.bcast_calls.append((dest, f(a)))
+            return
+        if func == MPIPool._REUSE:
+            func = self._worker_func[dest]
+        else:
+            self._worker_func[dest] = func
+            self.func_transmissions += 1
+        self._replies.append((dest, tag, func(arg)))
+
+    def recv(self, source=None, tag=None, status=None):
+        w, t, r = self._replies.popleft()
+        if status is not None:
+            status._source, status._tag = w, t
+        return r
+
+
+class _FakeWorkerComm:
+    """Worker-side communicator: ``recv`` replays a scripted payload list,
+    ``send`` records results — drives ``MPIPool.wait`` directly."""
+
+    def __init__(self, script, size=2, rank=1):
+        self._script = deque(script)
+        self._size = size
+        self._rank = rank
+        self.sent = []
+
+    def Get_rank(self):
+        return self._rank
+
+    def Get_size(self):
+        return self._size
+
+    def recv(self, source=None, tag=None, status=None):
+        tag_, payload = self._script.popleft()
+        if status is not None:
+            status._source, status._tag = 0, tag_
+        return payload
+
+    def send(self, result, dest, tag):
+        self.sent.append((dest, tag, result))
+
+
+# -------------------------------------------------------------------- serial
+
+
+def test_serial_pool_map_order():
+    p = SerialPool()
+    assert p.is_master()
+    assert p.map(_square, [1, 2, 3, 4]) == [1, 4, 9, 16]
+    p.bcast(_square, 1)
+    p.noduplicate_close()
+    p.close()
+
+
+def test_make_pool_kinds():
+    assert isinstance(make_pool("serial"), SerialPool)
+    p = make_pool("multiprocess", processes=2)
+    assert isinstance(p, MultiprocessPool)
+    p.close()
+    try:
+        make_pool("nope")
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("unknown pool kind must raise")
+
+
+# --------------------------------------------------------------- multiprocess
+
+
+def test_multiprocess_pool_map_order_and_theory_task():
+    p = MultiprocessPool(processes=2)
+    try:
+        assert p.is_master()
+        assert p.map(_square, list(range(20))) == [i * i for i in range(20)]
+        # the pipeline's picklable theory wrapper round-trips through workers
+        tasks = [((i, np.full(3, float(i))), "/tmp") for i in range(6)]
+        out = p.map(_TheoryTask(_identity_theory), tasks)
+        np.testing.assert_array_equal(
+            np.asarray(out), np.stack([np.full(3, float(i)) for i in range(6)])
+        )
+    finally:
+        p.close()
+
+
+# ----------------------------------------------------------------------- MPI
+
+
+def test_mpi_pool_map_order_more_tasks_than_workers():
+    comm = _FakeMasterComm(size=3)  # 2 workers
+    pool = MPIPool(comm=comm, mpi=_FakeMPI)
+    out = pool.map(_square, list(range(11)))
+    assert out == [i * i for i in range(11)]
+    # every task shipped its function (noduplicate off)
+    assert comm.func_transmissions == 11
+
+
+def test_mpi_pool_noduplicate_sends_function_once_per_worker():
+    comm = _FakeMasterComm(size=4)  # 3 workers
+    pool = MPIPool(comm=comm, mpi=_FakeMPI)
+    pool.noduplicate = True
+    out = pool.map(_square, list(range(30)))
+    assert out == [i * i for i in range(30)]
+    # the function crossed the wire exactly once per worker
+    # (reference linna/util.py:143-158)
+    assert comm.func_transmissions == 3
+    pool.noduplicate_close()
+    assert pool.noduplicate is False
+    assert pool._workers_have_func == set()
+    # after the reset, a new map ships the function again
+    pool.noduplicate = True
+    pool.map(_square, [1, 2, 3])
+    assert comm.func_transmissions == 6
+
+
+def test_mpi_pool_bcast_runs_on_every_worker():
+    comm = _FakeMasterComm(size=3)
+    pool = MPIPool(comm=comm, mpi=_FakeMPI)
+    pool.bcast(_square, 5)
+    assert comm.bcast_calls == [(1, 25), (2, 25)]
+
+
+def test_mpi_pool_close_shuts_workers_down():
+    comm = _FakeMasterComm(size=3)
+    pool = MPIPool(comm=comm, mpi=_FakeMPI)
+    pool.close()
+    assert comm.shutdown == {1, 2}
+
+
+def test_mpi_worker_wait_loop_protocol():
+    """The worker loop executes tasks, reuses the cached function for
+    noduplicate sentinels, resets it, runs bcasts, and exits on None
+    (reference linna/util.py:200-240)."""
+    side = []
+
+    def bcast_fn(a):
+        side.append(a)
+
+    script = [
+        (7, (_square, 3)),                      # plain task, tag 7
+        (8, (MPIPool._REUSE, 4)),               # reuse cached _square
+        (0, ("__bcast__", (bcast_fn, "hi"))),   # run-everywhere
+        (0, (MPIPool._RESET, None)),            # forget cached function
+        (9, (_square, 5)),                      # fresh function again
+        (0, None),                              # shutdown
+    ]
+    comm = _FakeWorkerComm(script)
+    pool = MPIPool(comm=comm, mpi=_FakeMPI)
+    assert not pool.is_master()
+    pool.wait()
+    assert comm.sent == [(0, 7, 9), (0, 8, 16), (0, 9, 25)]
+    assert side == ["hi"]
+
+
+# -------------------------------------------------- pipeline through the pool
+
+
+def test_generate_training_data_through_multiprocess_pool(tmp_path):
+    nn = NNSampler(str(tmp_path), np.array([[-1.0, 1.0]] * 3))
+    x = np.arange(12, dtype=np.float64).reshape(4, 3)
+    pool = MultiprocessPool(processes=2)
+    try:
+        y = nn.generate_training_data(
+            zip(range(len(x)), x), _identity_theory, pool=pool,
+            args=[str(tmp_path / "scratch")],
+        )
+    finally:
+        pool.close()
+    np.testing.assert_array_equal(y, x)
+
+
+def test_pipeline_end_to_end_with_multiprocess_pool(tmp_path):
+    """One full ml_sampler_core iteration fanned through a real 2-process
+    pool (VERDICT r1 item 5)."""
+    from linna_tpu import ml_sampler_core
+
+    outdir = str(tmp_path / "out")
+    pool = MultiprocessPool(processes=2)
+    try:
+        chain, logp = ml_sampler_core(
+            ntrainArr=[20], nvalArr=[5], nkeepArr=[1], ntimesArr=[2],
+            ntautolArr=[0.5], meanshiftArr=[100], stdshiftArr=[100],
+            outdir=outdir,
+            theory=_identity_theory,
+            priors=[{"param": "a", "dist": "flat", "arg1": -2.0, "arg2": 2.0}] * 2,
+            data=np.array([0.1, 0.5]), cov=np.diag([0.3, 0.2]),
+            init=np.zeros(2), pool=pool, nwalkers=4, temperatureArr=[1.0],
+            params={"trainingoption": 1, "num_epochs": 6, "batch_size": 8,
+                    "nensemble": 1},
+            method="emcee", seed=11,
+        )
+    finally:
+        pool.close()
+    assert chain.shape[1] == 2
+    assert np.all(np.isfinite(chain))
+    assert os.path.isfile(os.path.join(outdir, "iter_0", "train_samples_y.npy"))
