@@ -49,6 +49,7 @@ def make_log_prob(
     linearmodel: Optional[Callable] = None,
     ensemble_k_std: float = 1.0,
     use_fused: bool = False,
+    compute_dtype: Optional[str] = None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Build the batched whitened-space log-posterior.
 
@@ -60,8 +61,20 @@ def make_log_prob(
     ``use_fused=True`` dispatches to the single-kernel Pallas implementation
     (:func:`linna_tpu.ops.fused.fused_log_prob`) when a real TPU backend is
     present and the configuration is the plain single-emulator Gaussian path;
-    otherwise it silently falls back to the XLA composition (benchmarked at
-    parity with XLA at large walker counts — see ops/fused.py notes).
+    otherwise it silently falls back to the XLA composition.  Measured on
+    v5e (bench_fused.py -> FUSED_BENCH.json): the fused kernel is ~0.9x XLA
+    inside sampler chunks and ~1.1x on raw dispatch at 1k-4k walkers, so the
+    flag is off by default — XLA wins the production path.
+
+    ``compute_dtype`` (opt-in, e.g. ``"bfloat16"``): run the emulator's
+    matmuls in a reduced element type (accumulation stays float32 via
+    ``preferred_element_type``; the chi^2/prior arithmetic stays float32).
+    On TPU the MXU's native bf16 rate is several x its f32 rate, so this
+    trades ~0.4% per-element prediction rounding — typically below the
+    emulator's own training error — for throughput.  The rounding perturbs
+    chi^2 by O(0.01 * ndata), so for data vectors of O(500) points validate
+    posterior parity before using it for production inference (the test
+    suite pins parity statistically on a small problem).
 
     **Ensemble likelihood** (extension beyond the reference): ``params`` may
     be a list/tuple of K independently trained parameter pytrees.  The
@@ -88,6 +101,18 @@ def make_log_prob(
             raise ValueError("ensemble likelihood requires the default Gaussian loglike")
         stacked = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *params)
 
+    cdtype = jnp.dtype(compute_dtype) if compute_dtype is not None else None
+    if cdtype is not None:
+        if use_fused:
+            raise ValueError("use_fused supports float32 only; drop compute_dtype")
+        cast = lambda tree: jax.tree_util.tree_map(
+            lambda a: a.astype(cdtype), tree
+        )
+        if is_ensemble:
+            stacked = cast(stacked)
+        else:
+            params = cast(params)
+
     if (
         use_fused
         and not is_ensemble
@@ -107,9 +132,12 @@ def make_log_prob(
         x = jnp.asarray(x, jnp.float32)
         x_phys = P.transform(prior_pack, x)
         x_in = transforms.x_transform(x_phys)
+        if cdtype is not None:
+            x_in = x_in.astype(cdtype)
         if is_ensemble:
             def chi2_one(p):
                 pred = N.apply_model(spec, p, x_in, linearmodel=linearmodel)
+                pred = pred.astype(jnp.float32)
                 m = transforms.y_data.inverse(transforms.y_transform(pred))
                 d = m - data_j
                 return jnp.einsum("...i,ij,...j->...", d, inv_cov_j, d)
@@ -118,7 +146,9 @@ def make_log_prob(
             eff = jnp.mean(chi2, axis=0) + ensemble_k_std * jnp.std(chi2, axis=0)
             lp = -0.5 * eff / temperature + P.lnprior(x)
         else:
-            pred_std = N.apply_model(spec, params, x_in, linearmodel=linearmodel)
+            pred_std = N.apply_model(
+                spec, params, x_in, linearmodel=linearmodel
+            ).astype(jnp.float32)
             # standardized -> sigma-scaled -> raw data space
             # (Predictor.predict's y_transform then Log_prob's
             #  y_invtransform_data, linna/predictor_gpu.py:500 + util.py:1012)

@@ -146,17 +146,21 @@ def init_model(key: jax.Array, spec: ModelSpec) -> Params:
 
 
 def _linear(p: Params, x: jax.Array) -> jax.Array:
+    # Matmul accumulation is always float32; the output follows the weight
+    # dtype so a bf16-cast parameter tree keeps bf16 activations flowing
+    # between layers (native MXU rate) while sums stay exact per layer.
     y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"]
-    return y
+    return y.astype(p["w"].dtype)
 
 
 def _resblock(p: Params, x: jax.Array) -> jax.Array:
     """y = relu(0.1 * lin2(relu(lin1(x))) + skip(x)) (reference linna/nn.py:45-56)."""
     hcur = jax.nn.relu(_linear(p["lin1"], x))
     skip = jnp.dot(x, p["skip_w"], preferred_element_type=jnp.float32)
-    return jax.nn.relu(_linear(p["lin2"], hcur) * 0.1 + skip)
+    y = jax.nn.relu(_linear(p["lin2"], hcur) * 0.1 + skip)
+    return y.astype(p["skip_w"].dtype)
 
 
 def apply_model(

@@ -42,6 +42,14 @@ __all__ = ["fused_apply", "fused_log_prob", "pallas_available"]
 # Walkers per grid step.  Measured on v5e (27 params -> 457-dim data vector):
 # 128 gives the best large-batch throughput (16.1 M evals/s, ~XLA parity at
 # the f32 roofline); in-sampler-chunk throughput is tile-insensitive.
+#
+# Verdict from the committed benchmark (bench_fused.py -> FUSED_BENCH.json,
+# v5e, 100-step stretch chunks): the fused kernel is 0.89-0.98x XLA inside
+# the sampler chunk at every walker count (128..16384) and 1.09-1.10x on raw
+# single-dispatch evaluation at 1k-4k walkers.  XLA already fuses this MLP's
+# elementwise chain into its matmuls and pipelines the scan, so the kernel
+# buys nothing on the production path — ``use_fused`` therefore defaults to
+# False and exists for the raw-dispatch regime and as the Pallas exemplar.
 TILE_B = 128
 
 

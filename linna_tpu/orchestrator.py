@@ -592,6 +592,7 @@ def ml_sampler_core(
                     loglike_fn=loglikelihoodfunc,
                     external_loglike=externalloglike,
                     use_fused=bool(params.get("use_fused")),
+                    compute_dtype=params.get("compute_dtype"),
                 )
                 jitter = 0.1 if method == "emcee" else 0.001
                 x0 = init_run + jitter * rng.standard_normal((nwalkers, ndim_run))

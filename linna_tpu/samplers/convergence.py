@@ -56,17 +56,41 @@ def integrated_time(chain: np.ndarray, c: float = 5.0) -> np.ndarray:
     averaged over walkers before integration (dfm estimator). No reliability
     gate — equivalent to emcee's ``get_autocorr_time(tol=0)`` as the
     reference uses it (linna/sampler.py:538).
+
+    The per-walker autocorrelations are computed as one batched real FFT per
+    parameter (this runs on the host between every device chunk — the
+    per-series loop was the sampling loop's hidden host bottleneck at
+    production window sizes: 27 params x 128 walkers = 3456 separate FFTs
+    per convergence check).
     """
-    chain = np.asarray(chain, dtype=np.float64)
+    chain = np.asarray(chain)
     if chain.ndim != 3:
         raise ValueError("chain must be (nsteps, nwalkers, ndim)")
     nsteps, nwalkers, ndim = chain.shape
+    try:  # pocketfft: multithreaded batched transforms, fast non-pow2 sizes
+        from scipy import fft as sfft
+
+        n = sfft.next_fast_len(2 * nsteps, real=True)
+        rfft = lambda x: sfft.rfft(x, n=n, axis=0, workers=-1)
+        irfft = lambda x: sfft.irfft(x, n=n, axis=0, workers=-1)
+        # single precision is ample for a normalized ACF (rel err ~1e-5
+        # on 1e5-length series) and halves both time and memory
+        dtype = np.float32
+    except ImportError:  # pragma: no cover
+        n = 2 * _next_pow_two(nsteps)
+        rfft = lambda x: np.fft.rfft(x, n=n, axis=0)
+        irfft = lambda x: np.fft.irfft(x, n=n, axis=0)
+        dtype = np.float64
     taus = np.empty(ndim)
     for d in range(ndim):
-        f = np.zeros(nsteps)
-        for w in range(nwalkers):
-            f += autocorr_function_1d(chain[:, w, d])
-        f /= nwalkers
+        x = np.asarray(chain[:, :, d], dtype=dtype)
+        x = x - np.mean(x, axis=0)
+        fx = rfft(x)
+        acf = irfft(fx * np.conjugate(fx))[:nsteps].astype(np.float64)
+        acf0 = acf[0]  # (nwalkers,)
+        safe = np.where(acf0 == 0.0, 1.0, acf0)
+        acf = np.where(acf0 == 0.0, 1.0, acf / safe)
+        f = np.mean(acf, axis=1)
         cum = 2.0 * np.cumsum(f) - 1.0
         window = _auto_window(cum, c)
         taus[d] = cum[window]
