@@ -2,9 +2,9 @@
 one TPU chip (BASELINE.md: "wall-clock to R-1 < 0.01; converged DES-scale
 chain in < 1 h; sub-0.1 sigma posterior parity").
 
-Runs examples/des_synthetic.yaml (27 params -> 457-point data vector, 3
-annealed iterations, 2-member emulator ensemble) through the public driver,
-then reports:
+Runs examples/des_synthetic.yaml (27 params -> 457-point data vector, the
+paper's 4-iteration annealed schedule, 2-member emulator ensemble) through
+the public driver, then reports:
 
 - total wall-clock and the per-phase breakdown from trace.json
   (generate_training_point / train_emulator / mcmc per iteration);
@@ -41,6 +41,11 @@ def _enable_compile_cache():
 
 
 def main(fresh: bool = True):
+    import faulthandler
+
+    # watchdog: if any phase wedges (e.g. a stuck remote compile), dump all
+    # thread stacks every 5 minutes so the stall point is visible in the log
+    faulthandler.dump_traceback_later(300, repeat=True)
     _enable_compile_cache()
     # inputs (same recipe as examples/make_des_inputs.py)
     from examples import des_theory as T
@@ -113,7 +118,8 @@ def main(fresh: bool = True):
         "chain_shape": list(chain.shape),
         "ndim": T.NDIM,
         "ndata": T.NDATA,
-        "config": "examples/des_synthetic.yaml (3 iterations, nensemble=2)",
+        "config": "examples/des_synthetic.yaml (paper schedule: 4 iterations"
+        " x 10000, T^2=16,4,1,1, nensemble=2, 256 walkers)",
     }
     with open(os.path.join(HERE, "FLAGSHIP.json"), "w") as f:
         json.dump(result, f, indent=1)

@@ -183,6 +183,7 @@ def run_ensemble(
     # ``tau_check_growth=1.0`` for the reference's strict every-100-step
     # estimates (linna/sampler.py:530-538).
     next_tau_iter = iteration
+    last_tau_iter = iteration
     while iteration < max_iterations:
         if method == "emcee":
             state, chain, lps = stretch.stretch_chunk(
@@ -234,7 +235,19 @@ def run_ensemble(
 
         if iteration < next_tau_iter:
             continue
+        steps_since_tau = iteration - last_tau_iter
+        last_tau_iter = iteration
         next_tau_iter = iteration * tau_check_growth
+        # The reference's Delta-tau criterion is |tau_new - tau_old| / tau
+        # over ONE check interval (check_every steps, linna/sampler.py:545).
+        # With the geometric cadence consecutive estimates are further
+        # apart, so the raw ratio would measure drift over a longer window
+        # and e.g. a tau ~ 0.08*n burn-in transient would sit at ~5% forever
+        # (> tautol) even where the reference's per-100-step test passes.
+        # Normalizing to a per-check_every rate restores the reference
+        # semantics exactly at cadence=check_every and per-step-equivalent
+        # behavior otherwise.
+        dtau_scale = check_every / max(steps_since_tau, check_every)
 
         # tau is estimated over at most the trailing ``tau_window`` steps —
         # that caps both the per-check FFT cost (O(n log n) in window size)
@@ -246,7 +259,9 @@ def run_ensemble(
             if np.isnan(np.sum(tau)) and iteration > 10:
                 break
             converged = bool(np.all(tau * ntimes < iteration))
-            converged &= bool(np.all(np.abs(old_tau - tau) / tau < tautol))
+            converged &= bool(
+                np.all(np.abs(old_tau - tau) / tau * dtau_scale < tautol)
+            )
             window = max(int(nk * np.mean(tau)), 2)
             converged &= convergence.check_mean_std(
                 recent[-window:], meanshift, stdshift
@@ -262,7 +277,7 @@ def run_ensemble(
             tau_arr = convergence.integrated_time(recent[drop:][-tau_window:])
             tau = float(np.mean(tau_arr))
             converged = tau * ntimes < iteration
-            converged &= bool(np.abs(old_tau - tau) / tau < tautol)
+            converged &= bool(np.abs(old_tau - tau) / tau * dtau_scale < tautol)
             window = max(int(nk * tau), 2)
             converged &= convergence.check_mean_std(
                 recent[-window:], meanshift, stdshift
