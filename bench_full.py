@@ -54,16 +54,20 @@ def main(fresh: bool = True):
     os.makedirs(indir, exist_ok=True)
     truth_params = T.fiducial() + 0.05
     truth_vec = T.data_vector(truth_params)
-    sigma = 0.05 * (np.abs(truth_vec) + 0.1)
-    rng = np.random.default_rng(1)
-    data = truth_vec + rng.standard_normal(T.NDATA) * sigma
+    # noiseless data + ~1-4%-of-box posterior widths: see
+    # examples/make_des_inputs.py for the rationale
+    sigma = 1.0 * (np.abs(truth_vec) + 0.1)
+    data = truth_vec
     np.savetxt(os.path.join(indir, "data.txt"),
                np.stack([np.arange(T.NDATA), data], 1))
     rows = []
+    cov_dense = np.diag(sigma**2)
     for i in range(T.NDATA):
         rows.append([i, i, 0.0, sigma[i] ** 2])
         if i + 1 < T.NDATA:
-            rows.append([i, i + 1, 0.0, 0.25 * sigma[i] * sigma[i + 1]])
+            c = 0.25 * sigma[i] * sigma[i + 1]
+            rows.append([i, i + 1, 0.0, c])
+            cov_dense[i, i + 1] = cov_dense[i + 1, i] = c
     np.savetxt(os.path.join(indir, "cov_triplet.txt"), np.asarray(rows))
 
     if fresh and os.path.isdir(OUTDIR):
@@ -95,16 +99,60 @@ def main(fresh: bool = True):
     from linna_tpu.samplers.backends import ZeusBackend
 
     last_iter = len(params["ntrainArr"]) - 1
-    backend = ZeusBackend(
-        os.path.join(OUTDIR, f"iter_{last_iter}/", "zeus_256.h5")
-    )
-    raw = backend.get_value("chain_transformed")
-    half = raw[len(raw) // 5 :]  # discard 20% burn-in
-    rhat = convergence.gelman_rubin(half, split=True)
+    final_dir = os.path.join(OUTDIR, f"iter_{last_iter}/")
+    backend = ZeusBackend(os.path.join(final_dir, "zeus_256.h5"))
 
-    # posterior accuracy vs synthetic truth
-    post_mean = np.mean(chain, axis=0)
-    post_std = np.std(chain, axis=0)
+    def _rhat():
+        raw = backend.get_value("chain_transformed")
+        half = raw[len(raw) // 5 :]  # discard 20% burn-in
+        return convergence.gelman_rubin(half, split=True)
+
+    rhat = _rhat()
+
+    # North-star polish: the reference's tau*ntimes criterion stops at
+    # ~50 tau, which lands around R-1 ~ 0.04; BASELINE.md's target is
+    # R-1 < 0.01.  The HDF5 backend resumes, so keep extending the final
+    # chain (file-gated: re-running is incremental) until R-hat passes.
+    t_polish0 = time.time()
+    polish_rounds = 0
+    while np.max(rhat) - 1.0 > 0.01 and polish_rounds < 12:
+        polish_rounds += 1
+        from linna_tpu import likelihood as LK
+        from linna_tpu import orchestrator as OC
+        from linna_tpu import priors as PR
+        from linna_tpu.samplers import run as sampler_run
+
+        trainer = OC.retrieve_model(final_dir, T.NDIM, T.NDATA)
+        members = OC.retrieve_ensemble_params(final_dir, trainer)
+        pack = PR.priors_from_list(params["sampled_params"])
+        log_prob = LK.make_log_prob(
+            trainer.spec, members, trainer.transforms, pack, data,
+            np.linalg.inv(cov_dense),
+        )
+        n_now = backend.iteration
+        sampler_run.run_ensemble(
+            log_prob,
+            backend.get_last_sample(),
+            final_dir,
+            method="zeus",
+            transform=lambda x, _p=pack: np.asarray(PR.transform(_p, x)),
+            ntimes=50,
+            tautol=1e-9,  # force extension: unreachable until max_iterations
+            meanshift=1e-9,
+            stdshift=1e-9,
+            nk=5,
+            max_iterations=n_now + 2000,
+            seed=100 + polish_rounds,
+        )
+        rhat = _rhat()
+    polish_s = time.time() - t_polish0
+
+    # posterior accuracy vs synthetic truth, on the (possibly polished)
+    # final chain — same discard as the R-hat computation
+    full = backend.get_value("chain_transformed")
+    flat = full[len(full) // 5 :].reshape(-1, T.NDIM)
+    post_mean = np.mean(flat, axis=0)
+    post_std = np.std(flat, axis=0)
     err_sigma = np.abs(post_mean - truth_params) / post_std
 
     result = {
@@ -113,9 +161,12 @@ def main(fresh: bool = True):
         "unit": "s",
         "phases_s": {k: round(v, 1) for k, v in phases.items()},
         "max_split_rhat": round(float(np.max(rhat)), 4),
+        "polish_to_rhat_s": round(polish_s, 1),
+        "polish_rounds": polish_rounds,
         "max_posterior_err_sigma": round(float(np.max(err_sigma)), 3),
         "median_posterior_err_sigma": round(float(np.median(err_sigma)), 3),
-        "chain_shape": list(chain.shape),
+        "final_chain_steps": int(len(full)),
+        "nwalkers": int(full.shape[1]),
         "ndim": T.NDIM,
         "ndata": T.NDATA,
         "config": "examples/des_synthetic.yaml (paper schedule: 4 iterations"

@@ -16,7 +16,13 @@ import numpy as np
 
 NDIM = 27
 NDATA = 457
-N_TEMPLATES = 12
+# The template count sets the rank of the parameter->data-vector map:
+# it must exceed NDIM or the map is rank-deficient and the true posterior
+# has exactly flat directions (a 12-template version left a 15-dim
+# degenerate manifold — unconvergeable R-hat by construction).  40 smooth
+# templates with dense random couplings give a full-rank-27, reasonably
+# conditioned Fisher matrix (checked in tests/test_driver.py).
+N_TEMPLATES = 40
 
 
 def _bases(seed: int = 2026):
@@ -25,13 +31,20 @@ def _bases(seed: int = 2026):
     # smooth log-spaced templates (power laws + oscillatory pieces)
     slopes = rng.uniform(-1.5, 1.5, N_TEMPLATES)
     phases = rng.uniform(0, 2 * np.pi, N_TEMPLATES)
-    freqs = rng.uniform(1.0, 6.0, N_TEMPLATES)
-    templates = np.stack(
+    freqs = rng.uniform(1.0, 25.0, N_TEMPLATES)
+    raw = np.stack(
         [
             (1.0 + t) ** slopes[k] * (1.0 + 0.3 * np.sin(freqs[k] * np.pi * t + phases[k]))
             for k in range(N_TEMPLATES)
         ]
     )  # (K, NDATA)
+    # Smooth curves are numerically collinear (effective rank ~15 even for
+    # K=40), which would leave the parameter->data map rank-deficient and
+    # the posterior exactly degenerate.  Orthonormalize the span (rows of Q
+    # are smooth linear combinations of the raw curves) and rescale each
+    # row to per-point RMS 1 so the data vector keeps O(1) entries.
+    q, _ = np.linalg.qr(raw.T)  # (NDATA, K), orthonormal columns
+    templates = q.T * np.sqrt(NDATA)
     # parameter coupling matrices
     lin = rng.standard_normal((N_TEMPLATES, NDIM)) * 0.5
     quad = rng.standard_normal((N_TEMPLATES, NDIM)) * 0.15

@@ -13,9 +13,13 @@ outdir = "/tmp/linna_des_inputs"
 os.makedirs(outdir, exist_ok=True)
 fid = T.fiducial()
 truth = T.data_vector(fid + 0.05)  # "observed" universe slightly off-fiducial
-sigma = 0.05 * (np.abs(truth) + 0.1)
-rng = np.random.default_rng(1)
-data = truth + rng.standard_normal(T.NDATA) * sigma
+# Noise level chosen so the 27-dim posterior is ~1-4% of the prior box per
+# parameter (wide enough for the emulator to resolve, narrow enough to be a
+# genuine inference test).  The data vector is NOISELESS so the true
+# posterior centers exactly on the truth: any |mean-truth| in the recovered
+# chain measures emulator-induced bias, not the noise realization's pull.
+sigma = 1.0 * (np.abs(truth) + 0.1)
+data = truth
 np.savetxt(os.path.join(outdir, "data.txt"),
            np.stack([np.arange(T.NDATA), data], 1))
 # banded covariance with short-range correlations (triplet format)

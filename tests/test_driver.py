@@ -142,3 +142,30 @@ def test_driver_cli_usage_error():
     )
     assert proc.returncode == 2
     assert "usage" in proc.stderr
+
+
+def test_des_theory_full_rank():
+    """The synthetic DES theory's parameter->data map must have full rank
+    27 with a moderate Fisher condition number — a rank-deficient map makes
+    the true posterior exactly degenerate (unconvergeable by construction,
+    as an earlier 12-template version was)."""
+    import numpy as np
+
+    from examples import des_theory as T
+
+    truth = T.fiducial() + 0.05
+    tv = T.data_vector(truth)
+    sigma = 1.0 * (np.abs(tv) + 0.1)
+    eps = 1e-5
+    J = np.zeros((T.NDATA, T.NDIM))
+    for j in range(T.NDIM):
+        e = np.zeros(T.NDIM)
+        e[j] = eps
+        J[:, j] = (T.data_vector(truth + e) - T.data_vector(truth - e)) / (2 * eps)
+    F = J.T @ np.diag(1.0 / sigma**2) @ J
+    w = np.linalg.eigvalsh(F)
+    assert w[0] > 0
+    assert w[-1] / w[0] < 1e4, f"ill-conditioned Fisher: {w[-1]/w[0]:.1e}"
+    s = np.sqrt(np.diag(np.linalg.inv(F)))
+    # posterior resolvable by the emulator but a genuine inference test
+    assert 0.005 < np.median(s) < 0.2
