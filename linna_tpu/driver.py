@@ -259,7 +259,10 @@ def run_from_config(
         gpunode=gpunode,
         nnmodel_in=params.get("nnmodel", "chto_v2"),
         params=params,
-        method=method,
+        # methodArr in the YAML overrides the CLI method with a per-iteration
+        # sampler list (e.g. zeus for the annealed iterations, nuts for the
+        # final posterior)
+        method=params.get("methodArr", method),
         externalloglike=external,
         seed=int(params.get("seed", 0)),
         verbose=verbose,

@@ -464,7 +464,22 @@ def ml_sampler_core(
     pack = P.priors_from_list(priors)
     prior_range = P.prior_range(pack)
     init_white = np.atleast_1d(np.asarray(P.inv_transform(pack, init)))
-    filename = _chain_filename(method)
+    # ``method`` may be per-iteration (extension beyond the reference's
+    # single method, linna/util.py:1474-1504): e.g. ["zeus","zeus","nuts",
+    # "nuts"] samples the cheap annealed iterations with the ensemble slice
+    # and the final posterior with the gradient sampler (~2x the ESS rate on
+    # the trained emulator — docs/FLAGSHIP.md).
+    if isinstance(method, str):
+        methods = [method] * len(ntrainArr)
+    else:
+        methods = [str(m) for m in method]
+        if len(methods) != len(ntrainArr):
+            raise ValueError(
+                f"method list has {len(methods)} entries for "
+                f"{len(ntrainArr)} iterations"
+            )
+    for m in methods:
+        _chain_filename(m)  # validate eagerly: unknown method fails fast
     is_master = pool is None or pool.is_master()
 
     options = int(params.get("trainingoption", 0))
@@ -501,8 +516,12 @@ def ml_sampler_core(
         if i == 0:
             chain = None
         else:
-            prev = os.path.join(outdir, f"iter_{i-1}/", filename)
-            chain, _, _ = read_chain_and_cut(prev, nk, ntimes, method=method)
+            prev = os.path.join(
+                outdir, f"iter_{i-1}/", _chain_filename(methods[i - 1])
+            )
+            chain, _, _ = read_chain_and_cut(
+                prev, nk, ntimes, method=methods[i - 1]
+            )
 
         nnsampler = SG.NNSampler(outdir_in, prior_range)
         with timer.phase("generate_training_point", iteration=i, n=nt + nv):
@@ -555,7 +574,7 @@ def ml_sampler_core(
 
             # skip MCMC when this iteration's chain already exists
             # (linna/main.py:273-274 file gating)
-            chain_path = os.path.join(outdir_in, filename)
+            chain_path = os.path.join(outdir_in, _chain_filename(methods[i]))
             if not os.path.isfile(chain_path):
                 # reference main.py:255-263: fall back to shape-inferred
                 # retrieval with flat[-1,1]-padded priors when the saved
@@ -594,16 +613,16 @@ def ml_sampler_core(
                     use_fused=bool(params.get("use_fused")),
                     compute_dtype=params.get("compute_dtype"),
                 )
-                jitter = 0.1 if method == "emcee" else 0.001
+                jitter = 0.1 if methods[i] == "emcee" else 0.001
                 x0 = init_run + jitter * rng.standard_normal((nwalkers, ndim_run))
-                with timer.phase("mcmc", iteration=i, method=method), device_profile(
-                    f"mcmc_iter{i}"
-                ):
+                with timer.phase(
+                    "mcmc", iteration=i, method=methods[i]
+                ), device_profile(f"mcmc_iter{i}"):
                     sampler_run.run_ensemble(
                         log_prob,
                         x0,
                         outdir_in,
-                        method=method,
+                        method=methods[i],
                         transform=lambda x, _p=pack_run: np.asarray(
                             P.transform(_p, x)
                         ),
@@ -617,9 +636,11 @@ def ml_sampler_core(
                     )
 
     # final chain
-    last = os.path.join(outdir, f"iter_{len(ntrainArr)-1}/", filename)
+    last = os.path.join(
+        outdir, f"iter_{len(ntrainArr)-1}/", _chain_filename(methods[-1])
+    )
     chain, log_prob_samples, reader = read_chain_and_cut(
-        last, nkeepArr[-1], ntimesArr[-1], method=method
+        last, nkeepArr[-1], ntimesArr[-1], method=methods[-1]
     )
     log_prob_samples = reader.get_log_prob(flat=True)
 
@@ -630,7 +651,7 @@ def ml_sampler_core(
             params,
             nkeepArr[-1],
             ntimesArr[-1],
-            method,
+            methods[-1],
             theory,
             pool,
             priors,

@@ -131,3 +131,31 @@ def test_posterior_accuracy_2d_gaussian(tmp_path):
         # schedule tightens this to sub-0.1 sigma
         assert abs(got_mean - want_mean) < 0.25 * want_std, (d, got_mean, want_mean)
         assert abs(got_std - want_std) < 0.35 * want_std, (d, got_std, want_std)
+
+
+def test_per_iteration_methods(tmp_path):
+    """method may be a per-iteration list (extension beyond the reference):
+    each iteration samples with its own method and writes its own chain
+    layout; the next iteration reads the previous method's file."""
+    outdir = str(tmp_path / "out")
+    chain, logprob = _run(
+        outdir,
+        ntrainArr=[20, 20], nvalArr=[5, 5], nkeepArr=[1, 1],
+        ntimesArr=[2, 2], ntautolArr=[0.5, 0.5],
+        meanshiftArr=[100, 100], stdshiftArr=[100, 100],
+        temperatureArr=[2.0, 1.0],
+        method=["zeus", "emcee"],
+    )
+    assert os.path.isfile(os.path.join(outdir, "iter_0", "zeus_256.h5"))
+    assert os.path.isfile(os.path.join(outdir, "iter_1", "chemcee_256.h5"))
+    assert not os.path.isfile(os.path.join(outdir, "iter_1", "zeus_256.h5"))
+    assert np.all(np.isfinite(chain))
+
+
+def test_per_iteration_methods_validation(tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _run(str(tmp_path / "a"), method=["emcee", "emcee"])  # 1 iteration
+    with _pytest.raises(NotImplementedError):
+        _run(str(tmp_path / "b"), method=["not_a_sampler"])
