@@ -169,3 +169,46 @@ def test_des_theory_full_rank():
     s = np.sqrt(np.diag(np.linalg.inv(F)))
     # posterior resolvable by the emulator but a genuine inference test
     assert 0.005 < np.median(s) < 0.2
+
+
+def test_run_from_config_method_arr(tmp_path):
+    """methodArr in the config overrides the CLI method with a per-iteration
+    sampler list; each iteration's chain layout follows its own method."""
+    inputs = tmp_path / "inputs"
+    inputs.mkdir()
+    means = np.array([0.3, -0.2])
+    np.savetxt(inputs / "data.txt", np.stack([np.arange(2), means], 1))
+    np.savetxt(
+        inputs / "cov_triplet.txt",
+        np.array([[0, 0, 0.0, 0.3], [1, 1, 0.25, 0.25]]),
+    )
+    params = {
+        "outdir": str(tmp_path / "out"),
+        "base_dir": str(inputs),
+        "data_file": "data.txt",
+        "cov_file": "cov_triplet.txt",
+        "theory": "identity",
+        "nwalkers": 6,
+        "trainingoption": 1,
+        "num_epochs": 10,
+        "batch_size": 16,
+        "ntrainArr": [25, 25],
+        "nvalArr": [6, 6],
+        "nkeepArr": [1, 1],
+        "ntimesArr": [2, 2],
+        "ntautolArr": [0.5, 0.5],
+        "meanshiftArr": [100, 100],
+        "stdshiftArr": [100, 100],
+        "temperatureArr": [2.0, 1.0],
+        "seed": 3,
+        "methodArr": ["emcee", "zeus"],
+        "sampled_params": [
+            {"param": "x0", "dist": "flat", "arg1": -2.0, "arg2": 2.0},
+            {"param": "x1", "dist": "flat", "arg1": -2.0, "arg2": 2.0},
+        ],
+    }
+    chain, _ = D.run_from_config(params, method="zeus")
+    out = tmp_path / "out"
+    assert (out / "iter_0" / "chemcee_256.h5").exists()
+    assert (out / "iter_1" / "zeus_256.h5").exists()
+    assert np.all(np.isfinite(chain))

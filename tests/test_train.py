@@ -144,3 +144,54 @@ def test_load_best_survives_donation(tmp_path):
 
     leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(tr.params)]
     assert all(np.all(np.isfinite(l)) for l in leaves)
+
+
+def test_supervisor_decision_machine():
+    """Direct unit test of the Supervisor's pathology decisions (the
+    reference's recovery heuristics, linna/predictor_gpu.py:319-401)."""
+    import numpy as np
+
+    from linna_tpu.train import Supervisor
+
+    # flat-start: 10+ epochs of flat validation inside the first 120 -> reinit
+    sup = Supervisor(lr=1e-3)
+    action = "none"
+    for ep in range(30):
+        vm = np.array([1.0 + 1e-6 * ep, 0.0, 0.0])
+        action = sup.step(ep, vm, loss=1.0, min_eig=1.0)
+        if action != "none":
+            break
+    assert action == "reinit"
+    # the first restart fires at exactly epoch 10, where the reference's
+    # `epoch > 10` gate keeps the lr (linna/predictor_gpu.py:327-333)
+    assert sup.lr == 1e-3
+    # a later flat restart (epoch > 10) halves it
+    for ep in range(11, 30):
+        action = sup.step(ep, np.array([1.0, 0.0, 0.0]), 1.0, 1.0)
+        if action == "reinit":
+            break
+    assert action == "reinit" and sup.lr == 5e-4
+
+    # NaN validation -> reload best
+    sup = Supervisor(lr=1e-3)
+    sup.step(0, np.array([1.0, 0, 0]), 1.0, 1.0)
+    assert sup.step(1, np.array([np.nan, 0, 0]), 1.0, 1.0) == "reload"
+
+    # 5x loss spike -> reload, metric clamped to the previous value
+    sup = Supervisor(lr=1e-3)
+    sup.step(0, np.array([1.0, 0, 0]), 1.0, 1.0)
+    vm = np.array([50.0, 0, 0])
+    assert sup.step(1, vm, 1.0, 1.0) == "reload"
+    assert vm[0] == 1.0  # clamped (linna/predictor_gpu.py:369-371)
+
+    # suppressed epochs (post-intervention within a chunk) take no action
+    sup = Supervisor(lr=1e-3)
+    sup.step(0, np.array([1.0, 0, 0]), 1.0, 1.0)
+    assert sup.step(1, np.array([np.nan, 0, 0]), 1.0, 1.0, suppressed=True) == "none"
+
+    # output collapse (rank-deficient predictions, val far above best) -> reinit
+    sup = Supervisor(lr=1e-3)
+    sup.best_val_loss = 1.0
+    for ep in range(9):
+        sup.step(ep, np.array([3.0, 0, 0]), 1.0, 1.0)
+    assert sup.step(10, np.array([3.0, 0, 0]), 1.0, min_eig=1e-9) == "reinit"
