@@ -41,8 +41,12 @@ def _enable_compile_cache():
         pass
 
 
-def bench_tpu() -> float:
-    """Walker log-prob evaluations/sec inside the jitted sampler chunk."""
+def bench_tpu(reps: int = 7) -> tuple:
+    """Walker log-prob evaluations/sec inside the jitted sampler chunk.
+
+    Times ``reps`` independent chunk dispatches (each synchronized) and
+    returns (median, IQR) so measurement noise is distinguishable from a
+    real regression — single-shot timing hid a 12% r01->r02 swing."""
     import jax
 
     from __graft_entry__ import _build_problem
@@ -52,18 +56,22 @@ def bench_tpu() -> float:
     x0 = jax.random.normal(jax.random.key(1), (WALKERS, NDIM), dtype="float32")
     state = stretch.init_state(jax.random.key(2), x0, log_prob)
 
-    # warmup/compile
-    state, chain, _ = stretch.stretch_chunk(log_prob, state, CHUNK, 2.0)
-    jax.block_until_ready(chain)
-
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    # warmup/compile (twice: first run pays compile, second warms caches)
+    for _ in range(2):
         state, chain, _ = stretch.stretch_chunk(log_prob, state, CHUNK, 2.0)
-    jax.block_until_ready(chain)
-    dt = time.perf_counter() - t0
-    # one stretch step evaluates log_prob for every walker once
-    return WALKERS * CHUNK * reps / dt
+        jax.block_until_ready(chain)
+
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, chain, _ = stretch.stretch_chunk(log_prob, state, CHUNK, 2.0)
+        jax.block_until_ready(chain)
+        dt = time.perf_counter() - t0
+        # one stretch step evaluates log_prob for every walker once
+        rates.append(WALKERS * CHUNK / dt)
+    rates = np.asarray(rates)
+    q1, med, q3 = np.percentile(rates, [25, 50, 75])
+    return float(med), float(q3 - q1)
 
 
 BASELINE_FILE = "reference_baseline.json"
@@ -163,14 +171,52 @@ def bench_reference_style(max_evals: int = 300, max_seconds: float = 30.0) -> fl
     return n / dt
 
 
+HISTORY_FILE = "bench_history.json"
+
+
+def _update_history(value: float, spread: float) -> list:
+    """Append this run to the per-run history file (last 20 entries kept) so
+    cross-round moves are attributable to noise (within IQR) or real change."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), HISTORY_FILE)
+    history = []
+    if os.path.isfile(path):
+        try:
+            with open(path) as f:
+                history = json.load(f)
+        except Exception:
+            history = []
+    history.append({"value": round(value, 1), "spread": round(spread, 1)})
+    history = history[-20:]
+    try:
+        with open(path, "w") as f:
+            json.dump(history, f, indent=1)
+    except OSError:
+        pass
+    return history
+
+
 def main():
     _enable_compile_cache()
-    value = bench_tpu()
+    value, spread = bench_tpu()
     try:
         baseline = pinned_baseline()
     except Exception:
         baseline = float("nan")
     vs = value / baseline if np.isfinite(baseline) and baseline > 0 else None
+    history = _update_history(value, spread)
+    note = None
+    if len(history) > 1:
+        prev = history[-2]
+        move = value / prev["value"] - 1
+        if abs(move) >= 0.05:
+            noise = (spread + prev.get("spread", 0)) / prev["value"]
+            note = (
+                f"{move:+.1%} vs previous run "
+                f"({'within' if abs(move) <= noise else 'exceeds'} combined IQR "
+                f"{noise:.1%})"
+            )
     print(
         json.dumps(
             {
@@ -178,6 +224,9 @@ def main():
                 "value": round(value, 1),
                 "unit": "evals/s",
                 "vs_baseline": round(vs, 1) if vs else None,
+                "spread": round(spread, 1),
+                "history": [h["value"] for h in history],
+                **({"note": note} if note else {}),
             }
         )
     )

@@ -51,13 +51,22 @@ class SerialPool:
 
 
 class MultiprocessPool:
-    """Single-host fork pool (reference ``chtoMultiprocessPool``,
-    linna/util.py:258-289).  Order-preserving map."""
+    """Single-host process pool (reference ``chtoMultiprocessPool``,
+    linna/util.py:258-289).  Order-preserving map.
+
+    Workers are started with a forkserver (spawn fallback) context rather
+    than fork: JAX is multithreaded from first import, and forking a
+    multithreaded process can deadlock the child — callables must be
+    picklable, which MPI parity already requires."""
 
     noduplicate = False
 
     def __init__(self, processes: int | None = None):
-        self._pool = multiprocessing.Pool(processes=processes)
+        try:
+            ctx = multiprocessing.get_context("forkserver")
+        except ValueError:  # pragma: no cover - platform dependent
+            ctx = multiprocessing.get_context("spawn")
+        self._pool = ctx.Pool(processes=processes)
 
     def is_master(self) -> bool:
         return True
