@@ -267,7 +267,10 @@ def run_from_config(
         seed=int(params.get("seed", 0)),
         verbose=verbose,
     )
-    np.save(os.path.join(outdir, "time.npy"), time.time() - start)
+    from .parallel import multihost as MH
+
+    if MH.is_primary():
+        np.save(os.path.join(outdir, "time.npy"), time.time() - start)
     return chain, log_prob
 
 

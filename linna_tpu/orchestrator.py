@@ -39,6 +39,7 @@ from . import nn as N
 from . import priors as P
 from . import sample_gen as SG
 from . import transforms as T
+from .parallel import multihost as MH
 from .samplers import backends, convergence, run as sampler_run
 from .train import BEST_CKPT, Trainer
 from .utils.trace import PhaseTimer, device_profile
@@ -150,7 +151,8 @@ def train_emulator(
         for k in range(1, n_ensemble_gate)
     ]
     if all(os.path.isfile(p) for p in member_bests) and not retrain:
-        _write_finish(finish_path)
+        if MH.is_primary():
+            _write_finish(finish_path)
         return
 
     stack = D.curate(D.load_iteration_stack(outdir_list, usebest=usebest), ypositive)
@@ -159,7 +161,8 @@ def train_emulator(
     scaled_stats = stack.train_y_for_stats / np.asarray(sigma)
     y_transform = T.fit_y_transform(scaled_stats, ypositive=ypositive)
     transforms = T.TransformSet(x_transform, y_transform, y_data)
-    T.save_transforms(os.path.join(outdir_in, TRANSFORMS_FILE), transforms)
+    if MH.is_primary():
+        T.save_transforms(os.path.join(outdir_in, TRANSFORMS_FILE), transforms)
 
     loss_state = L.build_loss_state(data_vec, cov, transforms)
     spec = N.make_model_spec(
@@ -189,10 +192,16 @@ def train_emulator(
     use_mesh = (n_ensemble > 1 or jax.device_count() > 1) and not params.get(
         "serial_members"
     )
+    # opt-in bf16 forward/backward for training (f32 master weights);
+    # see docs/TRAINING_PERF.md for the measured verdict at the DES shape
+    train_cdtype = params.get("train_compute_dtype")
     if use_mesh:
         from .parallel.ensemble import EnsembleTrainer
 
-        trainer = EnsembleTrainer(spec, transforms, loss_state, member_dirs, seeds)
+        trainer = EnsembleTrainer(
+            spec, transforms, loss_state, member_dirs, seeds,
+            compute_dtype=train_cdtype,
+        )
         trainer.train(
             stack.train_x, stack.train_y, stack.val_x, stack.val_y, **train_kwargs
         )
@@ -200,13 +209,18 @@ def train_emulator(
         for member_dir, member_seed in zip(member_dirs, seeds):
             os.makedirs(member_dir, exist_ok=True)
             trainer = Trainer(
-                spec, transforms, loss_state, outdir=member_dir, seed=member_seed
+                spec, transforms, loss_state, outdir=member_dir,
+                seed=member_seed, compute_dtype=train_cdtype,
             )
             trainer.train(
                 stack.train_x, stack.train_y, stack.val_x, stack.val_y,
                 **train_kwargs,
             )
-    _write_finish(finish_path)
+    if MH.is_primary():
+        _write_finish(finish_path)
+    # non-primary pod hosts proceed only once the primary's checkpoints and
+    # transforms are on the shared filesystem (they read them right after)
+    MH.barrier("train-emulator")
 
 
 def _write_finish(path: str) -> None:
@@ -480,10 +494,15 @@ def ml_sampler_core(
             )
     for m in methods:
         _chain_filename(m)  # validate eagerly: unknown method fails fast
+    # Two orthogonal gates (SURVEY §2.8 / docs/MULTIHOST.md): ``is_master``
+    # is the *pool* master (controls the host-pool fan-out; with one pool per
+    # pod host every host is its own master and runs the full compute path),
+    # ``MH.is_primary()`` is the *multihost* process-0 gate for filesystem
+    # writes (the reference's master-rank artifact gating, linna/util.py:1178).
     is_master = pool is None or pool.is_master()
 
     options = int(params.get("trainingoption", 0))
-    timer = PhaseTimer(outdir if is_master else None)
+    timer = PhaseTimer(outdir if is_master and MH.is_primary() else None)
     rng = np.random.default_rng(seed)
     chain = None
     for i, (nt, nv, nk, ntimes, tautol, temperature, meanshift, stdshift) in enumerate(
@@ -525,23 +544,28 @@ def ml_sampler_core(
 
         nnsampler = SG.NNSampler(outdir_in, prior_range)
         with timer.phase("generate_training_point", iteration=i, n=nt + nv):
-            SG.generate_training_point(
-                theory,
-                nnsampler,
-                pool,
-                outdir_in,
-                nt,
-                nv,
-                data,
-                inv_cov,
-                chain,
-                nsigma=nsigma,
-                omegab2cut=omegab2cut,
-                options=options,
-                negloglike=negloglike,
-                nbest_in=nbest_in,
-                chisqcut=chisqcut,
-            )
+            # theory fan-out is host-CPU work through the pool: the multihost
+            # primary drives it and writes the sample files; other pod hosts
+            # rendezvous and read them from the shared filesystem
+            if MH.is_primary():
+                SG.generate_training_point(
+                    theory,
+                    nnsampler,
+                    pool,
+                    outdir_in,
+                    nt,
+                    nv,
+                    data,
+                    inv_cov,
+                    chain,
+                    nsigma=nsigma,
+                    omegab2cut=omegab2cut,
+                    options=options,
+                    negloglike=negloglike,
+                    nbest_in=nbest_in,
+                    chisqcut=chisqcut,
+                )
+            MH.barrier(f"training-points-{i}")
         chain = None
 
         if is_master:
@@ -634,6 +658,9 @@ def ml_sampler_core(
                         seed=seed + i,
                         progress=verbose,
                     )
+            # iteration boundary: the next iteration (and the final read
+            # below) reads this iteration's chain file on every pod host
+            MH.barrier(f"mcmc-{i}")
 
     # final chain
     last = os.path.join(
@@ -645,7 +672,7 @@ def ml_sampler_core(
     log_prob_samples = reader.get_log_prob(flat=True)
 
     if "nimp" in params and is_master:
-        chain, log_prob_samples = _importance_sampling(
+        imp_args = (
             outdir,
             last,
             params,
@@ -660,6 +687,13 @@ def ml_sampler_core(
             prior_range,
             rng,
         )
+        if MH.is_primary():
+            chain, log_prob_samples = _importance_sampling(*imp_args)
+        # non-primary pod hosts rendezvous, then take the file-gated read
+        # paths through the same function (samples/theory already on disk)
+        MH.barrier("importance")
+        if not MH.is_primary():
+            chain, log_prob_samples = _importance_sampling(*imp_args)
     return chain, log_prob_samples
 
 
@@ -722,5 +756,6 @@ def _importance_sampling(
     logw = np.log(w)
     w[np.abs(logw - np.mean(logw)) > 2 * np.std(logw)] = 0
     w = w / np.sum(w)
-    np.save(os.path.join(outdir, "weight_im.npy"), [log_prob_samples, logp, w])
+    if MH.is_primary():
+        np.save(os.path.join(outdir, "weight_im.npy"), [log_prob_samples, logp, w])
     return chain, log_prob_samples

@@ -14,8 +14,12 @@ along a leading axis and advances them together:
   (data parallelism *within* a member — the DDP analogue; GSPMD inserts the
   gradient all-reduce over ICI);
 - the whole dispatch chunk (``epochs_per_dispatch`` epochs × minibatch scan ×
-  validation) is one ``jit`` of a ``vmap`` over members, so a K=4 ensemble on
-  8 chips costs ~the wall-clock of one member on 2;
+  validation) is one ``jit`` of a ``vmap`` over members.  The compiled HLO
+  contains exactly one collective — the gradient all-reduce with
+  replica_groups confined to each member's 'data' group, nothing crossing
+  'ens' (measured: SCALING.json "hlo") — so on K×d chips the members run
+  independently and the chunk's wall is ~one member on d chips plus the
+  vmap packing overhead (measured on the real chip: TRAIN_BENCH.json);
 - per-member PRNG streams, LR range tests, EarlyStopping and pathology
   recovery reproduce the serial :class:`linna_tpu.train.Trainer` exactly
   (shared :class:`linna_tpu.train.Supervisor` decision machine; per-member
@@ -50,7 +54,8 @@ from ..train import (
 from ..transforms import TransformSet
 from ..utils import checkpoint as ckpt
 from ..utils import plots
-from .mesh import make_ensemble_mesh, member_sharding
+from . import multihost as MH
+from .mesh import make_ensemble_mesh, member_sharding, put_global_tree
 
 __all__ = ["EnsembleTrainer"]
 
@@ -84,11 +89,14 @@ class EnsembleTrainer:
         outdirs: Sequence[str],
         seeds: Sequence[int],
         mesh=None,
+        compute_dtype: Optional[str] = None,
     ):
         assert len(outdirs) == len(seeds)
         self.spec = spec
         self.transforms = transforms
         self.loss_state = loss_state
+        # opt-in mixed precision (see Trainer.compute_dtype)
+        self.compute_dtype = compute_dtype
         self.outdirs = [str(d) for d in outdirs]
         self.n_members = len(outdirs)
         self.mesh = mesh if mesh is not None else make_ensemble_mesh(self.n_members)
@@ -98,8 +106,9 @@ class EnsembleTrainer:
         for m in range(self.n_members):
             self.member_keys[m], k_init = jax.random.split(self.member_keys[m])
             inits.append(N.init_model(k_init, spec))
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *inits)
-        self.params = jax.device_put(stacked, member_sharding(self.mesh, stacked))
+        stacked = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *inits)
+        # put_global (not device_put): the mesh may span processes on a pod
+        self.params = put_global_tree(stacked, member_sharding(self.mesh, stacked))
         self.optimizer = _make_optimizer()
         self.opt_state = jax.jit(jax.vmap(self.optimizer.init))(self.params)
         self.lr = np.full(self.n_members, 1e-4)
@@ -112,7 +121,12 @@ class EnsembleTrainer:
     # ---------------------------------------------------------------- jitted
 
     def _member_loss(self, params, bx, by):
-        pred = N.apply_model(self.spec, params, self.transforms.x_transform(bx))
+        x = self.transforms.x_transform(bx)
+        if self.compute_dtype is not None:
+            cd = jnp.dtype(self.compute_dtype)
+            params = jax.tree.map(lambda a: a.astype(cd), params)
+            x = x.astype(cd)
+        pred = N.apply_model(self.spec, params, x).astype(jnp.float32)
         return L.loss_fn(self.loss_state, self.transforms, pred, by)
 
     @partial(jax.jit, static_argnums=(0, 8), donate_argnums=(1, 2))
@@ -184,7 +198,10 @@ class EnsembleTrainer:
     def _lr_sweep_members(self, params, order, lrs, train_x, train_y, num_iter):
         """The LR range test for all members at once: one scanned sweep per
         member lane (same batch order and lr schedule as the serial
-        ``lr_range_test``), returning raw loss traces f32[K, num_iter]."""
+        ``lr_range_test``), returning raw loss traces f32[K, num_iter].
+        Minibatches are sharded over the 'data' mesh axis like
+        ``_epochs_members`` so the sweep follows the same sharding story."""
+        bsh = NamedSharding(self.mesh, P("data", None))
         n = train_x.shape[0]
         bs = self._batch_size
         nb = max(n // bs, 1)
@@ -200,8 +217,10 @@ class EnsembleTrainer:
                 s = s._replace(
                     hyperparams={**s.hyperparams, "learning_rate": lr}
                 )
+                bx = jax.lax.with_sharding_constraint(train_x[idx], bsh)
+                by = jax.lax.with_sharding_constraint(train_y[idx], bsh)
                 loss, grads = jax.value_and_grad(self._member_loss)(
-                    p, train_x[idx], train_y[idx]
+                    p, bx, by
                 )
                 updates, s = self.optimizer.update(grads, s, p)
                 return (optax.apply_updates(p, updates), s), loss
@@ -263,7 +282,7 @@ class EnsembleTrainer:
             return lr_out
         lrs = np.geomspace(1e-4, 5e-3, num_iter)
         order = np.random.default_rng(1234).permutation(int(train_x.shape[0]))
-        raw = np.asarray(
+        raw = MH.fetch(
             self._lr_sweep_members(
                 self.params,
                 jnp.asarray(order),
@@ -276,23 +295,29 @@ class EnsembleTrainer:
         for m in missing:
             lr, losses, lrs_used = smooth_and_pick_lr(lrs, raw[m])
             lr_out[m] = lr
-            os.makedirs(self.outdirs[m], exist_ok=True)
-            np.save(os.path.join(self.outdirs[m], "lr.npy"), lr)
-            plots.plot_lr_range(
-                lrs_used, losses, os.path.join(self.outdirs[m], "lr_tunning.png")
-            )
+            if MH.is_primary():
+                os.makedirs(self.outdirs[m], exist_ok=True)
+                np.save(os.path.join(self.outdirs[m], "lr.npy"), lr)
+                plots.plot_lr_range(
+                    lrs_used, losses, os.path.join(self.outdirs[m], "lr_tunning.png")
+                )
         return lr_out
 
     def _save(self, epoch: int, force: bool = False) -> None:
         if not force and epoch - self._last_disk_save < self.save_every:
             return
         self._last_disk_save = epoch
-        params_h = jax.device_get(self.params)
+        # fetch is a collective on a multi-process mesh (member rows live on
+        # other hosts' devices) — every host calls it; only the primary writes
+        params_h = MH.fetch(self.params)
         best_h = (
-            jax.device_get(self._best_params_mem)
+            MH.fetch(self._best_params_mem)
             if self._best_params_mem is not None
             else None
         )
+        opt_h = MH.fetch(self.opt_state)
+        if not MH.is_primary():
+            return
         for m, d in enumerate(self.outdirs):
             meta = {
                 "epoch": epoch,
@@ -302,14 +327,14 @@ class EnsembleTrainer:
             ckpt.save_checkpoint(
                 os.path.join(d, LAST_CKPT),
                 jax.tree.map(lambda a: a[m], params_h),
-                _row(self.opt_state, m),
+                _row(opt_h, m),
                 meta,
             )
             if best_h is not None and self._best_dirty[m]:
                 ckpt.save_checkpoint(
                     os.path.join(d, BEST_CKPT),
                     jax.tree.map(lambda a: a[m], best_h),
-                    _row(self.opt_state, m),
+                    _row(opt_h, m),
                     meta,
                 )
                 self._best_dirty[m] = False
@@ -337,8 +362,9 @@ class EnsembleTrainer:
         self._batch_size = min(int(batch_size), int(train_x.shape[0]))
         if epochs_per_dispatch is not None:
             self.epochs_per_dispatch = max(int(epochs_per_dispatch), 1)
-        for d in self.outdirs:
-            os.makedirs(d, exist_ok=True)
+        if MH.is_primary():
+            for d in self.outdirs:
+                os.makedirs(d, exist_ok=True)
 
         if auto_lr:
             self.lr = self._auto_lr(train_x, train_y)
@@ -379,11 +405,14 @@ class EnsembleTrainer:
                 val_y,
                 k,
             )
-            losses_k = np.asarray(losses_k)  # [K, k, nb]
-            vms_k = np.asarray(vms_k, dtype=np.float64)  # [K, k, 3]
-            eigs_k = np.asarray(eigs_k)  # [K, k]
+            # fetch: identical host values on every process (collective when
+            # member rows are sharded across hosts) — the Supervisor decisions
+            # below must match on all hosts for SPMD dispatch to stay aligned
+            losses_k = MH.fetch(losses_k)  # [K, k, nb]
+            vms_k = MH.fetch(vms_k).astype(np.float64)  # [K, k, 3]
+            eigs_k = MH.fetch(eigs_k)  # [K, k]
             nb = losses_k.shape[-1]
-            cbv = np.asarray(chunk_best_val, dtype=np.float64)  # [K]
+            cbv = MH.fetch(chunk_best_val).astype(np.float64)  # [K]
 
             improved = np.array(
                 [sups[m].observe_chunk_best(float(cbv[m])) for m in range(self.n_members)]
@@ -445,20 +474,22 @@ class EnsembleTrainer:
             self._save(i - 1)
             if last_plot == 0 or i - last_plot >= 100:
                 last_plot = i
-                for m, d in enumerate(self.outdirs):
-                    plots.plot_training_progress(
-                        train_losses[m],
-                        val_metrics[m],
-                        os.path.join(d, "training_progress.png"),
-                        batches_per_epoch=max(nb, 1),
-                    )
+                if MH.is_primary():
+                    for m, d in enumerate(self.outdirs):
+                        plots.plot_training_progress(
+                            train_losses[m],
+                            val_metrics[m],
+                            os.path.join(d, "training_progress.png"),
+                            batches_per_epoch=max(nb, 1),
+                        )
 
         self._save(num_epochs - 1, force=True)
-        for m, d in enumerate(self.outdirs):
-            plots.plot_training_progress(
-                train_losses[m],
-                val_metrics[m],
-                os.path.join(d, "trainniing.png"),
-                batches_per_epoch=max(nb, 1),
-            )
+        if MH.is_primary():
+            for m, d in enumerate(self.outdirs):
+                plots.plot_training_progress(
+                    train_losses[m],
+                    val_metrics[m],
+                    os.path.join(d, "trainniing.png"),
+                    batches_per_epoch=max(nb, 1),
+                )
         return train_losses, val_metrics

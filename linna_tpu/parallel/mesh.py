@@ -37,7 +37,24 @@ __all__ = [
     "shard_params",
     "batch_sharding",
     "replicated",
+    "put_global",
 ]
+
+
+def put_global(x, sharding: NamedSharding):
+    """Place a host array onto a (possibly multi-process) sharding.
+
+    ``jax.device_put`` requires addressable devices; on a pod the mesh spans
+    processes, so the array is built from per-shard callbacks instead — each
+    process materializes only its addressable shards.  Every process must
+    hold the same ``x`` (SPMD: they do, by construction)."""
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def put_global_tree(tree, shardings):
+    """Pytree version of :func:`put_global`."""
+    return jax.tree.map(put_global, tree, shardings)
 
 
 def make_ensemble_mesh(n_members: int, devices: Optional[Sequence] = None) -> Mesh:

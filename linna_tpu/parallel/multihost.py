@@ -8,77 +8,121 @@ program launched once per host: ``jax.distributed.initialize`` wires the
 hosts together, every host sees the global device mesh, and XLA collectives
 ride ICI — no job-level choreography at all.
 
-This module is the thin host-role layer the orchestrator needs on a pod:
+Execution model (docs/MULTIHOST.md): **every host runs the same Python
+program**.  All hosts dispatch every global-mesh computation (training
+epochs, sampler chunks, allgathers) so the collectives line up; host-side
+control flow stays identical because every decision is made from
+:func:`fetch`-ed values, which are bitwise-identical on all hosts.  Only the
+primary process touches the filesystem (HDF5 chains, checkpoints, sample
+files) — the pod analogue of the reference's master-rank gating
+(linna/util.py:1178) — and :func:`barrier` separates write phases from the
+reads of the next phase on the shared filesystem.
 
-- :func:`initialize` — safe wrapper over ``jax.distributed.initialize``
-  (no-op for single-process runs, idempotent);
-- :func:`is_primary` — "process 0" gate for filesystem artifacts (HDF5
-  chains, checkpoints, transforms), the pod analogue of the reference's
-  ``pool.is_master()`` master-rank gating (linna/util.py:1178);
-- :func:`primary_only` — decorator applying that gate;
-- :func:`barrier` — all-host synchronization point so non-primary hosts
-  don't race ahead of primary-written artifacts (replaces the reference's
-  file-polling busy-waits, linna/main.py:243-245, with a collective).
+This module is that thin host-role layer:
 
-See docs/MULTIHOST.md for the launch recipe and examples/pod_launch.py for a
-runnable entry point.
+- :func:`initialize` — safe wrapper over ``jax.distributed.initialize``.
+  Decides whether to initialize **from environment/arguments alone**, before
+  touching any JAX API: calling e.g. ``jax.process_count()`` first would
+  itself initialize the local backend and make the real initialization
+  impossible (the round-2 defect).
+- :func:`is_primary` / :func:`primary_only` — "process 0" write gate.
+- :func:`barrier` — all-host synchronization point (replaces the reference's
+  sentinel-file busy-waits, linna/main.py:243-252, with a collective).
+- :func:`fetch` — device values -> identical host numpy on every process
+  (allgather when the value is sharded across hosts).
 """
 
 from __future__ import annotations
 
 import functools
 import os
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
-import jax
+import numpy as np
 
-__all__ = ["initialize", "is_primary", "primary_only", "barrier", "process_count"]
+__all__ = [
+    "initialize",
+    "is_primary",
+    "primary_only",
+    "barrier",
+    "fetch",
+    "broadcast",
+    "process_count",
+]
 
 _initialized = False
+
+# Manual-cluster configuration (used by examples/pod_launch.py and the
+# two-process tests); on Cloud TPU pods jax auto-discovers all three.
+ENV_COORDINATOR = "LINNA_COORDINATOR_ADDRESS"
+ENV_NUM_PROCESSES = "LINNA_NUM_PROCESSES"
+ENV_PROCESS_ID = "LINNA_PROCESS_ID"
+
+
+def _env_config():
+    coord = os.environ.get(ENV_COORDINATOR)
+    nproc = os.environ.get(ENV_NUM_PROCESSES)
+    pid = os.environ.get(ENV_PROCESS_ID)
+    return (
+        coord,
+        int(nproc) if nproc is not None else None,
+        int(pid) if pid is not None else None,
+    )
 
 
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
-) -> None:
-    """Initialize JAX's multi-host runtime.
+) -> bool:
+    """Initialize JAX's multi-host runtime; returns True if multi-process.
 
-    On Cloud TPU pod slices all three arguments are discovered from the TPU
-    metadata server and may be omitted; pass them explicitly for manual
-    clusters (``coordinator_address="host0:8476"``).  A no-op when the
-    process is already initialized or when running single-process (no
-    coordinator configured and not on a multi-host TPU environment).
+    The decision to initialize is made purely from the arguments and the
+    environment — **no JAX API is called first** (``jax.process_count()``
+    et al. initialize the local backend as a side effect, after which
+    ``jax.distributed.initialize`` raises; the failed round-2 version did
+    exactly that and always fell into single-process mode on a pod).
+
+    Sources, in precedence order:
+
+    1. explicit arguments;
+    2. ``LINNA_COORDINATOR_ADDRESS`` / ``LINNA_NUM_PROCESSES`` /
+       ``LINNA_PROCESS_ID`` (manual clusters, tests);
+    3. Cloud TPU pod metadata (``TPU_WORKER_HOSTNAMES`` with >1 entry, or
+       megascale coordination env) — jax discovers the details itself.
+
+    A no-op (returns False) for plain single-process runs.  Idempotent.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
-        return
-    # a pod = more than one worker hostname (single-host TPU environments
-    # also export TPU_WORKER_HOSTNAMES, with one entry)
-    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
-    on_pod = ("," in hostnames) or (
-        "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
-    )
-    if coordinator_address is None and not on_pod:
-        return  # single-process run; nothing to do
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except RuntimeError as e:
-        # backend already initialized (e.g. a single-host run that touched
-        # jax before calling this): proceed single-process rather than die
-        import warnings
+    if _initialized:
+        import jax
 
-        warnings.warn(f"multihost.initialize skipped: {e}")
-        return
+        return jax.process_count() > 1
+
+    env_coord, env_nproc, env_pid = _env_config()
+    coordinator_address = coordinator_address or env_coord
+    num_processes = num_processes if num_processes is not None else env_nproc
+    process_id = process_id if process_id is not None else env_pid
+
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    on_pod = ("," in hostnames) or ("MEGASCALE_COORDINATOR_ADDRESS" in os.environ)
+    if coordinator_address is None and not on_pod:
+        return False  # single-process run; nothing to do
+
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
     _initialized = True
+    return jax.process_count() > 1
 
 
 def process_count() -> int:
+    import jax
+
     return jax.process_count()
 
 
@@ -86,6 +130,8 @@ def is_primary() -> bool:
     """True on the artifact-writing host (process 0).  All hosts run the
     same SPMD compute; only the primary touches HDF5 chains, checkpoints and
     sample files, mirroring the reference's master-rank file writes."""
+    import jax
+
     return jax.process_index() == 0
 
 
@@ -104,12 +150,56 @@ def primary_only(fn: Callable) -> Callable:
 def barrier(name: str = "barrier") -> None:
     """Block until every host reaches this point.
 
-    Implemented as a tiny psum over all devices — the collective cannot
-    complete until every process has dispatched it, giving a cross-host
-    rendezvous without a side channel (the TPU-native replacement for the
-    reference's sentinel-file busy-waits, linna/main.py:243-252)."""
+    Implemented via a global-device sync — the collective cannot complete
+    until every process has dispatched it, giving a cross-host rendezvous
+    without a side channel (the TPU-native replacement for the reference's
+    sentinel-file busy-waits, linna/main.py:243-252)."""
+    import jax
+
     if jax.process_count() == 1:
         return
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices(name)
+
+
+def broadcast(x: Any) -> Any:
+    """Primary's host value -> every process (numpy out).
+
+    For host-side decisions that must be identical everywhere but whose
+    natural source is process 0 alone (e.g. "does the chain file already
+    hold steps?" — another host may race the primary's filesystem writes).
+    Single-process: identity."""
+    import jax
+
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(x)
+
+
+def fetch(x: Any) -> Any:
+    """Device value(s) -> host numpy, **identical on every process**.
+
+    Host-side control flow (convergence tests, Supervisor decisions,
+    checkpoint writes) must see the same numbers on every host or the SPMD
+    programs diverge.  For values sharded across processes this is an
+    allgather collective — every host must call it at the same point.
+    Accepts pytrees; single-process it is a plain ``np.asarray``."""
+    import jax
+
+    def one(a):
+        if (
+            isinstance(a, jax.Array)
+            and not a.is_fully_addressable
+            and not a.is_fully_replicated
+        ):
+            from jax.experimental import multihost_utils
+
+            # tiled=True: a global (cross-process) array comes back as the
+            # full logical value, identical on every process
+            return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+        return np.asarray(a)
+
+    return jax.tree.map(one, x)

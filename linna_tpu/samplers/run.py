@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..parallel import multihost as MH
 from . import backends, convergence, hmc, precondition, slicemove, stretch
 
 __all__ = ["run_ensemble", "EMCEE_FILENAME", "ZEUS_FILENAME"]
@@ -46,6 +47,39 @@ def _np_transform(transform):
         return out.reshape(chain.shape[:-1] + (out.shape[-1],))
 
     return apply
+
+
+# sampler state classes by method, for exact-resume (de)serialization
+_STATE_CLS = {
+    "emcee": stretch.EnsembleState,
+    "hmc": hmc.HMCState,
+    "nuts": hmc.NUTSState,
+    "zeus": slicemove.SliceState,
+}
+PRECOND_FILENAME = "precond.npz"
+
+
+def _state_to_blob(state) -> dict:
+    """Sampler NamedTuple -> flat numpy dict (PRNG key via key_data).
+    ``fetch`` is a collective on a multi-process mesh — call on all hosts."""
+    blob = {}
+    for name, v in zip(state._fields, state):
+        blob[name] = (
+            np.asarray(jax.random.key_data(v)) if name == "key" else MH.fetch(v)
+        )
+    return blob
+
+
+def _blob_to_state(cls, blob: dict, place):
+    """Rebuild a sampler state from a saved blob; ``place`` re-shards
+    per-walker arrays over the current device mesh."""
+    kwargs = {}
+    for name in cls._fields:
+        v = blob[name]
+        kwargs[name] = (
+            jax.random.wrap_key_data(jnp.asarray(v)) if name == "key" else place(v)
+        )
+    return cls(**kwargs)
 
 
 def run_ensemble(
@@ -92,15 +126,6 @@ def run_ensemble(
     else:
         raise NotImplementedError(method)
 
-    precond = None
-    if method in GRADIENT_METHODS:
-        # MAP + Hessian eigenbasis reparameterization; sample in the
-        # whitened-curvature space with unit mass (linna/sampler.py:408-456).
-        # The stored chain stays in the original (whitened-prior) space so
-        # resume does not depend on re-finding the identical MAP.
-        precond = precondition.calc_hess_mass_mat(log_prob_fn, np.mean(x0, axis=0))
-        log_prob_fn = precond.wrap_log_prob(log_prob_fn)
-
     # In-memory chain window: only the most recent ~tau_window steps are kept
     # on the host (the HDF5 backend persists the full chain).  Both the tau
     # estimate and the split-half stationarity test operate on trailing
@@ -120,7 +145,41 @@ def run_ensemble(
             rolling.pop(0)
         return rolling_len
 
-    resume = backend.initialized
+    # resume decision: the primary's filesystem view, broadcast so every pod
+    # host takes the same branch (a non-primary host could otherwise observe
+    # the file mid-reset and diverge — caught by tests/test_multihost_2proc.py)
+    resume = bool(np.asarray(MH.broadcast(np.int32(backend.initialized if MH.is_primary() else 0))))
+    # exact-resume blob: full sampler state + convergence bookkeeping saved
+    # after every chunk (reference stores the emcee RNG/move state each
+    # save_step, linna/sampler.py:346-368); absent on pre-upgrade chains,
+    # which fall back to the statistical re-init path
+    state_blob = backend.load_state() if resume else None
+
+    precond = None
+    if method in GRADIENT_METHODS:
+        # MAP + Hessian eigenbasis reparameterization; sample in the
+        # whitened-curvature space with unit mass (linna/sampler.py:408-456).
+        # The preconditioner persists to precond.npz so resume continues in
+        # the SAME space without re-paying the MAP search.
+        pfile = os.path.join(outdir, PRECOND_FILENAME)
+        if resume and os.path.isfile(pfile):
+            z = np.load(pfile)
+            precond = precondition.Preconditioner(
+                z["center"], z["basis"], z["scales"]
+            )
+        else:
+            precond = precondition.calc_hess_mass_mat(
+                log_prob_fn, np.mean(x0, axis=0)
+            )
+            if MH.is_primary():
+                np.savez(
+                    pfile,
+                    center=precond.center,
+                    basis=precond.basis,
+                    scales=precond.scales,
+                )
+        log_prob_fn = precond.wrap_log_prob(log_prob_fn)
+
     iteration = 0
     if resume:
         x0 = np.asarray(backend.get_last_sample(), dtype=np.float32)
@@ -128,50 +187,86 @@ def run_ensemble(
         iteration = len(prev_chain)
         _push(prev_chain[-tau_window:])
     elif method == "emcee":
-        backend.reset(nwalkers, ndim)
+        if MH.is_primary():
+            backend.reset(nwalkers, ndim)
         # burn-in with restart from the high-probability set
         key, bkey, rkey = jax.random.split(key, 3)
         bstate = stretch.init_state(bkey, jnp.asarray(x0), log_prob_fn)
         bstate, bchain, blps = stretch.stretch_chunk(log_prob_fn, bstate, 100, a)
-        flat = np.asarray(bchain).reshape(-1, ndim)
-        flat_lp = np.asarray(blps).reshape(-1)
+        flat = MH.fetch(bchain).reshape(-1, ndim)
+        flat_lp = MH.fetch(blps).reshape(-1)
         top = flat[np.argsort(flat_lp)[::-1][: int(50 * nwalkers)]]
         pick = jax.random.randint(rkey, (nwalkers,), 0, len(top))
         x0 = top[np.asarray(pick)]
 
     if not resume and method in GRADIENT_METHODS:
-        backend.reset(nwalkers, ndim)
+        if MH.is_primary():
+            backend.reset(nwalkers, ndim)
         x0 = precond.draw_x0(np.random.default_rng(seed), nwalkers)
     elif resume and method in GRADIENT_METHODS:
         x0 = np.asarray(precond.to_sampling(x0), dtype=np.float32)
 
-    x0_dev = jnp.asarray(x0)
-    if shard_walkers and jax.device_count() > 1 and nwalkers % (2 * jax.device_count()) == 0:
-        # spread the ensemble over every chip: each half-ensemble update
-        # becomes a data-parallel batch; GSPMD keeps the gather of stretch
-        # partners / slice directions on ICI
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+    walker_mesh = None
+    if shard_walkers and jax.device_count() > 1:
+        if nwalkers % (2 * jax.device_count()) == 0:
+            # spread the ensemble over every chip: each half-ensemble update
+            # becomes a data-parallel batch; GSPMD keeps the gather of stretch
+            # partners / slice directions on ICI
+            from jax.sharding import Mesh
 
-        mesh = Mesh(np.asarray(jax.devices()), ("walkers",))
-        x0_dev = jax.device_put(
-            x0_dev, NamedSharding(mesh, PartitionSpec("walkers", None))
-        )
+            walker_mesh = Mesh(np.asarray(jax.devices()), ("walkers",))
+        else:
+            import warnings
 
-    key, skey = jax.random.split(key)
-    if method == "emcee":
-        state = stretch.init_state(skey, x0_dev, log_prob_fn)
-    elif method == "hmc":
-        state = hmc.init_hmc_state(skey, x0_dev, log_prob_fn)
-    elif method == "nuts":
-        state = hmc.init_nuts_state(
-            skey, x0_dev, log_prob_fn, m_adapt=m_adapt
-        )
-    else:
-        state = slicemove.init_slice_state(skey, x0_dev, log_prob_fn)
+            warnings.warn(
+                f"walker sharding skipped: nwalkers={nwalkers} is not a "
+                f"multiple of 2*device_count={2 * jax.device_count()}; the "
+                f"ensemble runs on a single device — round nwalkers up to "
+                f"{-(-nwalkers // (2 * jax.device_count())) * 2 * jax.device_count()} "
+                f"to use all {jax.device_count()} devices",
+                stacklevel=2,
+            )
+
+    def _place(a):
+        """Device placement: per-walker arrays shard over the mesh."""
+        a = np.asarray(a)
+        if walker_mesh is None or a.ndim < 1 or a.shape[0] != nwalkers:
+            return jnp.asarray(a)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel.mesh import put_global
+
+        spec = PartitionSpec(*(("walkers",) + (None,) * (a.ndim - 1)))
+        return put_global(a, NamedSharding(walker_mesh, spec))
 
     old_tau = np.inf
     prev_accepted = np.zeros(nwalkers)
     n_chunks_done = 0
+    if state_blob is not None:
+        # exact resume: reconstruct the sampler state (PRNG key, per-walker
+        # step sizes, dual-averaging state, slice mu, acceptance counters)
+        # and the convergence bookkeeping — the continued chain is bitwise
+        # identical to an uninterrupted run
+        state = _blob_to_state(_STATE_CLS[method], state_blob, _place)
+        if "accepted" in state_blob:
+            prev_accepted = np.asarray(state_blob["accepted"], np.float64)
+        old_tau = np.asarray(state_blob["_old_tau"], np.float64)
+        if method == "zeus":
+            old_tau = float(old_tau[0]) if old_tau.size else np.inf
+        n_chunks_done = int(state_blob["_n_chunks_done"])
+    else:
+        x0_dev = _place(x0)
+        key, skey = jax.random.split(key)
+        if method == "emcee":
+            state = stretch.init_state(skey, x0_dev, log_prob_fn)
+        elif method == "hmc":
+            state = hmc.init_hmc_state(skey, x0_dev, log_prob_fn)
+        elif method == "nuts":
+            state = hmc.init_nuts_state(
+                skey, x0_dev, log_prob_fn, m_adapt=m_adapt
+            )
+        else:
+            state = slicemove.init_slice_state(skey, x0_dev, log_prob_fn)
     # Tau recomputation cadence: the batched-FFT tau estimate over the
     # trailing window is the dominant host cost per check at production
     # sizes (seconds per call), and re-estimating it every 100 steps on a
@@ -184,41 +279,63 @@ def run_ensemble(
     # estimates (linna/sampler.py:530-538).
     next_tau_iter = iteration
     last_tau_iter = iteration
+    if state_blob is not None and "_next_tau_iter" in state_blob:
+        next_tau_iter = float(state_blob["_next_tau_iter"])
+        last_tau_iter = int(state_blob["_last_tau_iter"])
+
+    def _save_state() -> None:
+        # fetch inside _state_to_blob is a collective — all hosts call this;
+        # only the primary writes the sampler_state group
+        blob = _state_to_blob(state)
+        blob["_old_tau"] = np.atleast_1d(np.asarray(old_tau, np.float64))
+        blob["_n_chunks_done"] = np.asarray(n_chunks_done)
+        blob["_next_tau_iter"] = np.asarray(float(next_tau_iter))
+        blob["_last_tau_iter"] = np.asarray(int(last_tau_iter))
+        if MH.is_primary():
+            backend.save_state(blob)
+
     while iteration < max_iterations:
+        # fetch: replicate device results onto every host (collective when
+        # walkers are sharded across processes) before host-side appends and
+        # convergence math — all hosts see identical values, only the primary
+        # writes the HDF5 file
         if method == "emcee":
             state, chain, lps = stretch.stretch_chunk(
                 log_prob_fn, state, check_every, a
             )
-            acc = np.asarray(state.accepted, dtype=np.float64)
-            backend.append(
-                np.asarray(chain, np.float64),
-                np.asarray(lps, np.float64),
-                acc - prev_accepted,
-                transform=tfn,
-            )
+            chain, lps = MH.fetch(chain), MH.fetch(lps)
+            acc = MH.fetch(state.accepted).astype(np.float64)
+            if MH.is_primary():
+                backend.append(
+                    chain.astype(np.float64),
+                    lps.astype(np.float64),
+                    acc - prev_accepted,
+                    transform=tfn,
+                )
             prev_accepted = acc
         elif method in GRADIENT_METHODS:
             if method == "hmc":
                 state, chain, lps = hmc.hmc_chunk(
                     log_prob_fn, state, check_every, n_leapfrog
                 )
-                acc = np.asarray(state.accepted, dtype=np.float64)
             else:
                 state, chain, lps = hmc.nuts_chunk(
                     log_prob_fn, state, check_every, max_depth
                 )
                 # expected acceptances: cumulative mean Metropolis alpha per
                 # walker (H&G Alg. 6) — the real statistic, not a constant
-                acc = np.asarray(state.accepted, dtype=np.float64)
+            chain, lps = MH.fetch(chain), MH.fetch(lps)
+            acc = MH.fetch(state.accepted).astype(np.float64)
             # store in the original (whitened-prior) space
-            chain = np.asarray(chain, np.float64)
+            chain = chain.astype(np.float64)
             chain = precond.to_original(chain.reshape(-1, ndim)).reshape(chain.shape)
-            backend.append(
-                chain,
-                np.asarray(lps, np.float64),
-                acc - prev_accepted,
-                transform=tfn,
-            )
+            if MH.is_primary():
+                backend.append(
+                    chain,
+                    lps.astype(np.float64),
+                    acc - prev_accepted,
+                    transform=tfn,
+                )
             prev_accepted = acc
         else:
             state, chain, lps = slicemove.slice_chunk(
@@ -226,14 +343,17 @@ def run_ensemble(
             )
             if n_chunks_done < tune_chunks:
                 state = slicemove.tune_mu(state)
-            backend.append(
-                np.asarray(chain, np.float64), np.asarray(lps, np.float64), transform=tfn
-            )
+            chain, lps = MH.fetch(chain), MH.fetch(lps)
+            if MH.is_primary():
+                backend.append(
+                    chain.astype(np.float64), lps.astype(np.float64), transform=tfn
+                )
         _push(np.asarray(chain))
         iteration += check_every
         n_chunks_done += 1
 
         if iteration < next_tau_iter:
+            _save_state()
             continue
         steps_since_tau = iteration - last_tau_iter
         last_tau_iter = iteration
@@ -257,6 +377,7 @@ def run_ensemble(
         if method != "zeus":
             tau = convergence.integrated_time(recent[-tau_window:])
             if np.isnan(np.sum(tau)) and iteration > 10:
+                _save_state()
                 break
             converged = bool(np.all(tau * ntimes < iteration))
             converged &= bool(
@@ -287,8 +408,9 @@ def run_ensemble(
                 f"iter {iteration}: tau={np.mean(tau):.2f} converged={converged}",
                 flush=True,
             )
+        old_tau = tau
+        _save_state()
         if converged:
             break
-        old_tau = tau
 
     return backend

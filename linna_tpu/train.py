@@ -305,12 +305,17 @@ class Trainer:
         outdir: Optional[str] = None,
         seed: int = 1234,
         params=None,
+        compute_dtype: Optional[str] = None,
     ):
         self.spec = spec
         self.transforms = transforms
         self.loss_state = loss_state
         self.outdir = outdir
         self.seed = seed
+        # opt-in mixed precision: forward/backward in ``compute_dtype``
+        # (e.g. "bfloat16"), f32 master weights + AdamW state + loss/metric
+        # arithmetic — the training analogue of likelihood.compute_dtype
+        self.compute_dtype = compute_dtype
         self.key = jax.random.key(seed)
         if params is None:
             self.key, init_key = jax.random.split(self.key)
@@ -325,7 +330,12 @@ class Trainer:
     # ---------------------------------------------------------------- jitted
 
     def _loss(self, params, bx, by):
-        pred = N.apply_model(self.spec, params, self.transforms.x_transform(bx))
+        x = self.transforms.x_transform(bx)
+        if self.compute_dtype is not None:
+            cd = jnp.dtype(self.compute_dtype)
+            params = jax.tree.map(lambda a: a.astype(cd), params)
+            x = x.astype(cd)
+        pred = N.apply_model(self.spec, params, x).astype(jnp.float32)
         return L.loss_fn(self.loss_state, self.transforms, pred, by)
 
     @partial(jax.jit, static_argnums=(0, 8), donate_argnums=(1, 2))

@@ -1,0 +1,115 @@
+"""Worker program for the genuine two-process multi-host test.
+
+Launched twice by tests/test_multihost_2proc.py with
+LINNA_COORDINATOR_ADDRESS / LINNA_NUM_PROCESSES / LINNA_PROCESS_ID set and 4
+virtual CPU devices per process.  Both processes execute the SAME program
+(the docs/MULTIHOST.md SPMD model):
+
+Phase 1 (shared outdir = argv[1]): the production ``train_emulator`` path —
+EnsembleTrainer over the global ('ens','data') mesh spanning both processes —
+then emulator retrieval from the shared filesystem and a walker-sharded
+``run_ensemble`` chunk over all 8 global devices.
+
+Phase 2 (per-process outdir = argv[2] + process id): EnsembleTrainer +
+run_ensemble again with process-local output directories — proving that the
+non-primary process writes NOTHING (the pytest side asserts its directory
+stays file-free).
+"""
+
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # defeat the container sitecustomize
+
+from linna_tpu.parallel import multihost as MH  # noqa: E402
+
+multi = MH.initialize()  # configured via LINNA_* env
+assert multi, "expected multi-process initialization from env"
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 8, jax.device_count()
+assert jax.local_device_count() == 4
+
+import numpy as np  # noqa: E402
+
+from linna_tpu import likelihood as LK  # noqa: E402
+from linna_tpu import losses as L  # noqa: E402
+from linna_tpu import nn as N  # noqa: E402
+from linna_tpu import orchestrator as ORC  # noqa: E402
+from linna_tpu import priors as P  # noqa: E402
+from linna_tpu import transforms as T  # noqa: E402
+from linna_tpu.parallel.ensemble import EnsembleTrainer  # noqa: E402
+from linna_tpu.samplers import run as sampler_run  # noqa: E402
+
+shared = sys.argv[1]
+gate_base = sys.argv[2]
+NDIM, NDATA = 3, 4
+data_vec = np.zeros(NDATA)
+cov = np.eye(NDATA)
+sigma = np.sqrt(np.diag(cov))
+
+# ----------------------------------------------------- phase 1: shared outdir
+ORC.train_emulator(
+    shared,
+    [shared],
+    data_vec,
+    cov,
+    sigma,
+    dolog10index=None,
+    ypositive=False,
+    model_name="chto_simple",
+    params={"nensemble": 2, "num_epochs": 6, "batch_size": 16},
+)
+# train_emulator ends with a barrier; the shared artifacts exist everywhere
+assert os.path.isfile(os.path.join(shared, "finish.json"))
+trainer = ORC.retrieve_model(shared, NDIM, NDATA, "chto_simple")
+params_lp = ORC.retrieve_ensemble_params(shared, trainer)
+assert len(params_lp) == 2, "both ensemble members' checkpoints readable"
+pack = P.priors_from_list(
+    [{"param": f"p{i}", "dist": "flat", "arg1": -2.0, "arg2": 2.0} for i in range(NDIM)]
+)
+log_prob = LK.make_log_prob(
+    trainer.spec, params_lp, trainer.transforms, pack, data_vec, np.linalg.inv(cov)
+)
+x0 = np.asarray(
+    0.05 * np.random.default_rng(3).standard_normal((32, NDIM)), np.float32
+)
+backend = sampler_run.run_ensemble(
+    log_prob, x0, shared, method="emcee",
+    ntimes=1, tautol=100.0, meanshift=1e9, stdshift=1e9,
+    check_every=8, max_iterations=16, seed=5, shard_walkers=True,
+)
+MH.barrier("after-shared-mcmc")
+chain = backend.get_chain()  # both processes read the shared HDF5
+assert chain.shape[1:] == (32, NDIM), chain.shape
+assert np.all(np.isfinite(chain))
+
+# ------------------------------------------- phase 2: per-process write gate
+mine = os.path.join(gate_base + str(jax.process_index()))
+rng = np.random.default_rng(7)
+tx = np.asarray(rng.standard_normal((64, NDIM)), np.float32)
+ty = np.asarray(tx @ rng.standard_normal((NDIM, NDATA)), np.float32)
+xt = T.fit_x_transform(tx, None)
+yt = T.fit_y_transform(ty / sigma, ypositive=False)
+tset = T.TransformSet(xt, yt, T.YTransformData(jax.numpy.asarray(sigma, jax.numpy.float32)))
+loss_state = L.build_loss_state(data_vec, cov, tset)
+spec = N.make_model_spec("chto_simple", NDIM, NDATA)
+ens = EnsembleTrainer(
+    spec, tset, loss_state,
+    [mine, os.path.join(mine, "ens_1")], [11, 12],
+)
+ens.train(tx, ty, tx[:16], ty[:16], num_epochs=4, batch_size=16)
+
+
+def analytic(x):
+    return -0.5 * jax.numpy.sum(x**2, axis=-1)
+
+
+sampler_run.run_ensemble(
+    analytic, x0, mine, method="zeus",
+    ntimes=1, tautol=100.0, meanshift=1e9, stdshift=1e9,
+    check_every=8, max_iterations=8, seed=6, shard_walkers=True,
+)
+MH.barrier("done")
+print(f"WORKER-OK p{jax.process_index()}", flush=True)

@@ -152,3 +152,28 @@ def test_run_ensemble_sharded_walkers(tmp_path):
     assert chain.shape[1:] == (32, 3)
     flat = chain[len(chain) // 2:].reshape(-1, 3)
     np.testing.assert_allclose(flat.mean(axis=0), [0.5] * 3, atol=0.2)
+
+
+def test_run_ensemble_warns_when_sharding_skipped(tmp_path):
+    """A walker count not divisible by 2*device_count falls back to a single
+    device — loudly (VERDICT r2 item 8), naming the next usable count."""
+    import warnings
+
+    import jax.numpy as jnp
+    from linna_tpu.samplers import run as sampler_run
+
+    def log_prob(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    x0 = np.asarray(
+        0.1 * np.random.default_rng(2).standard_normal((250, 3)), np.float32
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        sampler_run.run_ensemble(
+            log_prob, x0, str(tmp_path), method="emcee",
+            ntimes=1, tautol=10.0, meanshift=100.0, stdshift=100.0,
+            check_every=10, max_iterations=10, seed=1, shard_walkers=True,
+        )
+    msgs = [str(w.message) for w in caught if "walker sharding skipped" in str(w.message)]
+    assert msgs and "256" in msgs[0]  # 250 -> next multiple of 16

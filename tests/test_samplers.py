@@ -159,3 +159,46 @@ def test_run_ensemble_converges_and_resumes(tmp_path, method):
         seed=4,
     )
     assert backend2.iteration >= n1
+
+
+@pytest.mark.parametrize("method", ["emcee", "zeus", "hmc", "nuts"])
+def test_exact_resume_matches_uninterrupted(tmp_path, method, monkeypatch):
+    """Interrupting after one chunk and resuming reproduces the
+    uninterrupted seeded run bitwise: the full sampler state (PRNG key,
+    per-walker epsilons, dual-averaging state, slice mu, acceptance
+    counters) persists in the HDF5 ``sampler_state`` group and the
+    preconditioner in ``precond.npz`` (VERDICT r2 item 5; reference stores
+    the emcee RNG/move state per save_step, linna/sampler.py:346-368)."""
+    import jax.numpy as jnp
+
+    from linna_tpu.samplers import precondition
+
+    def log_prob(x):
+        return -0.5 * jnp.sum((x - 0.3) ** 2, axis=-1)
+
+    x0 = np.asarray(
+        0.2 * np.random.default_rng(0).standard_normal((16, 2)), np.float32
+    )
+    kw = dict(
+        method=method, ntimes=1e6, tautol=1e-8, meanshift=1e-8, stdshift=1e-8,
+        check_every=10, seed=3, shard_walkers=False, m_adapt=15,
+    )
+
+    full = run.run_ensemble(
+        log_prob, x0, str(tmp_path / "full"), max_iterations=30, **kw
+    )
+    part = run.run_ensemble(
+        log_prob, x0, str(tmp_path / "part"), max_iterations=10, **kw
+    )
+    assert len(part.get_chain()) == 10
+    if method in run.GRADIENT_METHODS:
+        # resume must reuse precond.npz, never re-pay the MAP search
+        def boom(*a, **k):
+            raise AssertionError("calc_hess_mass_mat re-ran on resume")
+
+        monkeypatch.setattr(precondition, "calc_hess_mass_mat", boom)
+    resumed = run.run_ensemble(
+        log_prob, x0, str(tmp_path / "part"), max_iterations=30, **kw
+    )
+    np.testing.assert_array_equal(resumed.get_chain(), full.get_chain())
+    np.testing.assert_array_equal(resumed.get_log_prob(), full.get_log_prob())
