@@ -1,0 +1,235 @@
+"""Multi-chip scaling measurements (VERDICT r2 item 3).
+
+Measures — rather than asserts — the two parallel paths on whatever device
+mesh is available (run under ``JAX_PLATFORMS=cpu
+XLA_FLAGS=--xla_force_host_platform_device_count=8`` for the virtual-mesh
+numbers; on a real pod the same script reports ICI-backed timings):
+
+1. **Ensemble training**: wall-clock of ``EnsembleTrainer`` (all K members
+   as one sharded program over the ('ens','data') mesh) vs the serial
+   ``Trainer`` loop (K sequential single-member runs) at K=2 and K=4, same
+   total epochs/batches/seeds.
+2. **Sampler chunk throughput**: walker-sharded ``stretch_chunk`` rate at
+   1/2/4/8 devices for a fixed ensemble size.
+
+Writes SCALING.json and prints it.  Relative timings on the virtual CPU mesh
+measure *program structure* (one dispatch vs K, collective overhead), not ICI
+bandwidth — the roofline note in the JSON says what does and doesn't
+transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _setup():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    return jax
+
+
+NDIM, NDATA = 8, 64
+N_TRAIN, N_VAL, BATCH = 2000, 200, 250
+EPOCHS = 40
+
+
+def _problem(jax):
+    from linna_tpu import losses as L
+    from linna_tpu import nn as N
+    from linna_tpu import transforms as T
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((NDIM, NDATA))
+    tx = np.asarray(rng.uniform(-1, 1, (N_TRAIN, NDIM)), np.float32)
+    ty = np.asarray(tx @ w, np.float32)
+    vx = np.asarray(rng.uniform(-1, 1, (N_VAL, NDIM)), np.float32)
+    vy = np.asarray(vx @ w, np.float32)
+    cov = np.eye(NDATA)
+    sigma = np.sqrt(np.diag(cov))
+    xt = T.fit_x_transform(tx, None)
+    yt = T.fit_y_transform(ty / sigma, ypositive=False)
+    tset = T.TransformSet(
+        xt, yt, T.YTransformData(jax.numpy.asarray(sigma, jax.numpy.float32))
+    )
+    loss_state = L.build_loss_state(np.zeros(NDATA), cov, tset)
+    spec = N.make_model_spec("chto_v2", NDIM, NDATA)
+    return spec, tset, loss_state, tx, ty, vx, vy
+
+
+def bench_trainer(jax, k: int, tmpdir: str) -> dict:
+    """Steady-state wall for EPOCHS epochs x K members: mesh vs serial."""
+    import os
+
+    from linna_tpu.parallel.ensemble import EnsembleTrainer
+    from linna_tpu.train import Trainer
+
+    spec, tset, loss_state, tx, ty, vx, vy = _problem(jax)
+    seeds = [100 + i for i in range(k)]
+
+    def run_mesh() -> float:
+        dirs = [os.path.join(tmpdir, f"mesh{k}_{m}") for m in range(k)]
+        tr = EnsembleTrainer(spec, tset, loss_state, dirs, seeds)
+        kw = dict(batch_size=BATCH, auto_lr=False, initfrombest=False,
+                  epochs_per_dispatch=EPOCHS)
+        tr.train(tx, ty, vx, vy, num_epochs=EPOCHS, **kw)  # compile + run
+        t0 = time.perf_counter()
+        tr.train(tx, ty, vx, vy, num_epochs=EPOCHS, **kw)  # cached program
+        return time.perf_counter() - t0
+
+    def run_serial() -> float:
+        trainers = []
+        for m in range(k):
+            d = os.path.join(tmpdir, f"ser{k}_{m}")
+            os.makedirs(d, exist_ok=True)
+            trainers.append(
+                Trainer(spec, tset, loss_state, outdir=d, seed=seeds[m])
+            )
+        kw = dict(batch_size=BATCH, auto_lr=False, initfrombest=False,
+                  epochs_per_dispatch=EPOCHS)
+        for tr in trainers:
+            tr.train(tx, ty, vx, vy, num_epochs=EPOCHS, **kw)  # compile + run
+        t0 = time.perf_counter()
+        for tr in trainers:
+            tr.train(tx, ty, vx, vy, num_epochs=EPOCHS, **kw)
+        return time.perf_counter() - t0
+
+    mesh_s = run_mesh()
+    serial_s = run_serial()
+    return {
+        "k": k,
+        "mesh_s": round(mesh_s, 2),
+        "serial_s": round(serial_s, 2),
+        "speedup": round(serial_s / mesh_s, 2),
+    }
+
+
+def bench_sampler(jax, walkers: int = 1024, chunk: int = 50) -> list:
+    """stretch_chunk throughput at 1/2/4/8 devices (walker-sharded)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from linna_tpu import likelihood as LK
+    from linna_tpu import nn as N
+    from linna_tpu import priors as PR
+    from linna_tpu import transforms as T
+    from linna_tpu.samplers import stretch
+
+    spec, tset, loss_state, tx, ty, vx, vy = _problem(jax)
+    params = N.init_model(jax.random.key(0), spec)
+    pack = PR.priors_from_list(
+        [{"param": f"p{i}", "dist": "flat", "arg1": -2.0, "arg2": 2.0}
+         for i in range(NDIM)]
+    )
+    log_prob = LK.make_log_prob(
+        spec, params, tset, pack, np.zeros(NDATA), np.eye(NDATA)
+    )
+    x0 = jax.random.normal(jax.random.key(1), (walkers, NDIM), dtype="float32")
+
+    out = []
+    all_devices = jax.devices()
+    for d in (1, 2, 4, 8):
+        if d > len(all_devices):
+            break
+        mesh = Mesh(np.asarray(all_devices[:d]), ("walkers",))
+        x0_d = jax.device_put(x0, NamedSharding(mesh, P("walkers", None)))
+        state = stretch.init_state(jax.random.key(2), x0_d, log_prob)
+        state, chain, _ = stretch.stretch_chunk(log_prob, state, chunk, 2.0)
+        jax.block_until_ready(chain)  # compile
+        reps, t0 = 3, time.perf_counter()
+        for _ in range(reps):
+            state, chain, _ = stretch.stretch_chunk(log_prob, state, chunk, 2.0)
+        jax.block_until_ready(chain)
+        dt = time.perf_counter() - t0
+        out.append(
+            {"devices": d,
+             "evals_per_s": round(walkers * chunk * reps / dt, 1)}
+        )
+    return out
+
+
+def hlo_collectives(jax, k: int = 4) -> dict:
+    """Compile the K-member training chunk on the ('ens','data') mesh and
+    inspect its HLO: which collectives exist, and do any cross the member
+    ('ens') axis?  This is the load-bearing fact for real-chip scaling —
+    members with no cross-member collectives run truly independently, so K
+    members on K*d chips take ~the wall of one member on d chips."""
+    import re
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from linna_tpu.parallel.ensemble import EnsembleTrainer
+
+    spec, tset, loss_state, tx, ty, vx, vy = _problem(jax)
+    with tempfile.TemporaryDirectory() as td:
+        tr = EnsembleTrainer(
+            spec, tset, loss_state,
+            [f"{td}/m{m}" for m in range(k)], list(range(k)),
+        )
+        tr._batch_size = BATCH
+        ekeys = jnp.stack([jax.random.key(m) for m in range(k)])
+        txt = (
+            type(tr)._epochs_members.lower(
+                tr, tr.params, tr.opt_state, ekeys,
+                jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(vx),
+                jnp.asarray(vy), 5,
+            )
+            .compile()
+            .as_text()
+        )
+    groups = re.findall(r"replica_groups=(\[[\d,]+\]<=\[\d+\]|\{[^}]*\})", txt)
+    ens, data = tr.mesh.shape["ens"], tr.mesh.shape["data"]
+    # iota form [G,S]<=[N]: S consecutive devices per group; with the
+    # ('ens','data') mesh built from devices.reshape(ens, data), groups of
+    # size == data that tile consecutively are exactly per-member data groups
+    cross = [g for g in groups if g != f"[{ens},{data}]<=[{ens * data}]"]
+    return {
+        "k": k,
+        "mesh": {"ens": ens, "data": data},
+        "collective_instructions": len(groups),
+        "replica_groups": groups[:4],
+        "cross_member_collectives": len(cross),
+    }
+
+
+def main():
+    import tempfile
+
+    jax = _setup()
+    result = {
+        "platform": jax.devices()[0].platform,
+        "n_devices": jax.device_count(),
+        "shape": {"ndim": NDIM, "ndata": NDATA, "n_train": N_TRAIN,
+                  "batch": BATCH, "epochs": EPOCHS},
+        "note": (
+            "Read the virtual-CPU-mesh timings for what they are: all 8 "
+            "'devices' timeshare the SAME physical cores, so the serial path "
+            "gives each member every core (XLA intra-op threading) while the "
+            "mesh path partitions those cores and adds partition overhead — "
+            "speedup < 1 here is expected and measures pure program-structure "
+            "overhead, an upper bound on what real chips pay.  The real-chip "
+            "argument is structural, from the compiled HLO ('hlo' section): "
+            "the K-member training chunk contains exactly one collective — "
+            "the per-member gradient all-reduce with replica_groups confined "
+            "to each member's 'data' group — and nothing crossing 'ens', so "
+            "on K*d real chips the members run independently and wall-clock "
+            "~= one member on d chips plus the vmap packing overhead "
+            "(measured on the real chip in TRAIN_BENCH.json)."
+        ),
+    }
+    with tempfile.TemporaryDirectory() as td:
+        result["trainer"] = [bench_trainer(jax, 2, td), bench_trainer(jax, 4, td)]
+    result["sampler"] = bench_sampler(jax)
+    result["hlo"] = hlo_collectives(jax)
+    with open("SCALING.json", "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()
