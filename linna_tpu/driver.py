@@ -200,6 +200,22 @@ def _load_data_cov(params: dict):
     mask = align_mask(mask, len(cov))
     cov = cov[mask][:, mask]
     data = data[mask[: len(data)]] if len(data) != len(cov) else data[mask]
+    if "transform_matrix_file" in params:
+        # Generic linear data-compression hook: data <- T data,
+        # cov <- T cov T^T.  The reference applied a cosmolike-computed
+        # Y-statistics T-matrix here (reference cosmolike_run.py:268-282,
+        # ``T_Ytransform_full``); the matrix itself comes from the external
+        # C library, so this driver takes any precomputed T from a file
+        # (rows = compressed dimension, columns = masked data dimension).
+        t = np.loadtxt(os.path.join(base, params["transform_matrix_file"]))
+        t = np.atleast_2d(np.asarray(t, dtype=np.float64))
+        if t.shape[1] != len(cov):
+            raise ValueError(
+                f"transform matrix has {t.shape[1]} columns for a "
+                f"{len(cov)}-point masked data vector"
+            )
+        data = t @ data
+        cov = t @ cov @ t.T
     return data, cov, mask
 
 

@@ -212,3 +212,39 @@ def test_run_from_config_method_arr(tmp_path):
     assert (out / "iter_0" / "chemcee_256.h5").exists()
     assert (out / "iter_1" / "zeus_256.h5").exists()
     assert np.all(np.isfinite(chain))
+
+
+def test_load_data_cov_transform_matrix(tmp_path):
+    """``transform_matrix_file``: data <- T data, cov <- T cov T^T after
+    masking (the reference's Y-statistics compression shape,
+    cosmolike_run.py:268-282, with the matrix supplied from a file)."""
+    from linna_tpu.driver import _load_data_cov
+
+    rng = np.random.default_rng(0)
+    n, m = 6, 3
+    a = rng.standard_normal((n, n))
+    cov = a @ a.T + n * np.eye(n)
+    data = rng.standard_normal(n)
+    t = rng.standard_normal((m, n))
+    np.savetxt(tmp_path / "cov.txt", cov)
+    np.savetxt(tmp_path / "data.txt", data)
+    np.savetxt(tmp_path / "t.txt", t)
+    params = {
+        "base_dir": str(tmp_path),
+        "cov_file": "cov.txt",
+        "cov_format": "dense",
+        "data_file": "data.txt",
+        "transform_matrix_file": "t.txt",
+    }
+    d, c, mask = _load_data_cov(params)
+    np.testing.assert_allclose(d, t @ data, rtol=1e-12)
+    np.testing.assert_allclose(c, t @ cov @ t.T, rtol=1e-12)
+
+    params["transform_matrix_file"] = "bad.txt"
+    np.savetxt(tmp_path / "bad.txt", np.ones((2, n + 1)))
+    try:
+        _load_data_cov(params)
+    except ValueError as e:
+        assert "columns" in str(e)
+    else:
+        raise AssertionError("shape mismatch must raise")
