@@ -41,12 +41,16 @@ def _enable_compile_cache():
         pass
 
 
-def bench_tpu(reps: int = 7) -> tuple:
+def bench_tpu(reps: int = 5, chunks_per_rep: int = 3) -> tuple:
     """Walker log-prob evaluations/sec inside the jitted sampler chunk.
 
-    Times ``reps`` independent chunk dispatches (each synchronized) and
-    returns (median, IQR) so measurement noise is distinguishable from a
-    real regression — single-shot timing hid a 12% r01->r02 swing."""
+    Each repetition dispatches ``chunks_per_rep`` chunks back-to-back with
+    one final synchronization — the r01/r02 pipelined-throughput methodology
+    (a per-chunk sync would charge the host->device dispatch round-trip,
+    ~20 ms over a tunneled link, against on-device compute) — and the
+    median + IQR over ``reps`` repetitions makes measurement noise
+    distinguishable from a real regression (single-shot timing hid a 12%
+    r01->r02 swing)."""
     import jax
 
     from __graft_entry__ import _build_problem
@@ -64,11 +68,12 @@ def bench_tpu(reps: int = 7) -> tuple:
     rates = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        state, chain, _ = stretch.stretch_chunk(log_prob, state, CHUNK, 2.0)
+        for _ in range(chunks_per_rep):
+            state, chain, _ = stretch.stretch_chunk(log_prob, state, CHUNK, 2.0)
         jax.block_until_ready(chain)
         dt = time.perf_counter() - t0
         # one stretch step evaluates log_prob for every walker once
-        rates.append(WALKERS * CHUNK / dt)
+        rates.append(WALKERS * CHUNK * chunks_per_rep / dt)
     rates = np.asarray(rates)
     q1, med, q3 = np.percentile(rates, [25, 50, 75])
     return float(med), float(q3 - q1)

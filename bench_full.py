@@ -40,13 +40,28 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main(fresh: bool = True):
+def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP.json"):
     import faulthandler
 
     # watchdog: if any phase wedges (e.g. a stuck remote compile), dump all
     # thread stacks every 5 minutes so the stall point is visible in the log
     faulthandler.dump_traceback_later(300, repeat=True)
     _enable_compile_cache()
+    # tunneled-TPU wedge guard: the first device op of a fresh client can
+    # hang indefinitely after a previous client was killed; exit 3 fast so a
+    # shell retry loop can start a fresh client instead of burning the
+    # timeout (a new process usually recovers the tunnel)
+    import threading
+
+    _guard = threading.Timer(
+        180, lambda: (print("TUNNEL-WEDGED", flush=True), os._exit(3))
+    )
+    _guard.daemon = True
+    _guard.start()
+    import jax
+
+    jax.block_until_ready(jax.numpy.ones((8, 8)).sum())
+    _guard.cancel()
     # inputs (same recipe as examples/make_des_inputs.py)
     from examples import des_theory as T
 
@@ -81,6 +96,7 @@ def main(fresh: bool = True):
                        parent_dir=os.path.join(HERE, "examples"))
     params["outdir"] = OUTDIR
     params["base_dir"] = indir
+    params.update(overrides or {})
 
     t0 = time.time()
     chain, logp = driver.run_from_config(params, method="zeus", verbose=True)
@@ -170,13 +186,29 @@ def main(fresh: bool = True):
         "ndim": T.NDIM,
         "ndata": T.NDATA,
         "config": "examples/des_synthetic.yaml (paper schedule: 4 iterations"
-        " x 10000, T^2=16,4,1,1, nensemble=2, 256 walkers)",
+        " x 10000, T^2=16,4,1,1, nensemble=2, 256 walkers)"
+        + (f" + overrides {overrides}" if overrides else ""),
     }
-    with open(os.path.join(HERE, "FLAGSHIP.json"), "w") as f:
+    with open(os.path.join(HERE, out), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
     return result
 
 
 if __name__ == "__main__":
-    main(fresh="--resume" not in sys.argv)
+    # CLI: [--resume] [out=FILE.json] [key=value ...]  — key=value entries
+    # override the YAML config (e.g. train_compute_dtype=bfloat16)
+    _overrides, _out = {}, "FLAGSHIP.json"
+    for arg in sys.argv[1:]:
+        if arg == "--resume" or "=" not in arg:
+            continue
+        k, _, v = arg.partition("=")
+        if k == "out":
+            _out = v
+        else:
+            try:
+                v = json.loads(v)
+            except json.JSONDecodeError:
+                pass
+            _overrides[k] = v
+    main(fresh="--resume" not in sys.argv, overrides=_overrides, out=_out)
