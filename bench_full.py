@@ -171,6 +171,20 @@ def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP
     post_std = np.std(flat, axis=0)
     err_sigma = np.abs(post_mean - truth_params) / post_std
 
+    # The |mean - truth| metric conflates emulator error with the exact
+    # posterior's own nonlinear skew (up to 0.10 sigma on this theory; see
+    # bench_exact_posterior.py).  When the exact-likelihood reference
+    # exists, also report the emulator's true contribution:
+    # |flagship mean - exact mean| / exact std.
+    emu_bias = None
+    exact_path = os.path.join(HERE, "EXACT_POSTERIOR.json")
+    if os.path.isfile(exact_path):
+        with open(exact_path) as f:
+            exact = json.load(f)
+        e_mean = np.asarray(exact["exact_mean"])
+        e_std = np.asarray(exact["exact_std"])
+        emu_bias = np.abs(post_mean - e_mean) / e_std
+
     result = {
         "metric": "des_synthetic_wallclock",
         "value": round(wall, 1),
@@ -181,6 +195,16 @@ def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP
         "polish_rounds": polish_rounds,
         "max_posterior_err_sigma": round(float(np.max(err_sigma)), 3),
         "median_posterior_err_sigma": round(float(np.median(err_sigma)), 3),
+        **(
+            {
+                "max_emulator_bias_sigma": round(float(np.max(emu_bias)), 3),
+                "median_emulator_bias_sigma": round(
+                    float(np.median(emu_bias)), 3
+                ),
+            }
+            if emu_bias is not None
+            else {}
+        ),
         "final_chain_steps": int(len(full)),
         "nwalkers": int(full.shape[1]),
         "ndim": T.NDIM,
