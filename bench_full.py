@@ -111,12 +111,19 @@ def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP
                 key = rec["phase"]
                 phases[key] = phases.get(key, 0.0) + rec["seconds"]
 
-    # convergence of the final chain (walker-resolved)
-    from linna_tpu.samplers.backends import ZeusBackend
+    # convergence of the final chain (walker-resolved); the backend file
+    # follows the final iteration's sampler (methodArr override supported)
+    from linna_tpu.samplers.backends import EmceeBackend, ZeusBackend
+    from linna_tpu.samplers.run import EMCEE_FILENAME, ZEUS_FILENAME
 
     last_iter = len(params["ntrainArr"]) - 1
     final_dir = os.path.join(OUTDIR, f"iter_{last_iter}/")
-    backend = ZeusBackend(os.path.join(final_dir, "zeus_256.h5"))
+    m_arr = params.get("methodArr")
+    final_method = m_arr[last_iter] if m_arr else "zeus"
+    if final_method == "zeus":
+        backend = ZeusBackend(os.path.join(final_dir, ZEUS_FILENAME))
+    else:
+        backend = EmceeBackend(os.path.join(final_dir, EMCEE_FILENAME))
 
     def _rhat():
         raw = backend.get_value("chain_transformed")
@@ -150,7 +157,7 @@ def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP
             log_prob,
             backend.get_last_sample(),
             final_dir,
-            method="zeus",
+            method=final_method,
             transform=lambda x, _p=pack: np.asarray(PR.transform(_p, x)),
             ntimes=50,
             tautol=1e-9,  # force extension: unreachable until max_iterations

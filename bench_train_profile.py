@@ -1,0 +1,184 @@
+"""Where does the training step's time go? (round-3 follow-up to
+TRAIN_BENCH.json: measured 3.1 ms/step bf16 K=2 at the flagship shape vs a
+~0.1-0.2 ms HBM roofline -> 15-30x headroom somewhere.)
+
+Times progressively stripped variants of the epoch program on the real
+chip, all as ONE jitted dispatch over EPOCHS epochs so the ~20 ms tunnel
+RTT amortizes away:
+
+  full        : the production chunk (shuffle -> scanned AdamW steps -> val)
+  no_val      : same minus the per-epoch validation forward/metric
+  no_opt      : scanned fwd+bwd only (grads summed; no optimizer update)
+  fwd_only    : scanned forward + loss only (no backward)
+  carry_only  : scan over the same (params, opt_state) carries doing one
+                trivial elementwise op -- isolates while-loop/carry overhead
+  megabatch   : the whole epoch's FLOPs as ONE fwd+bwd over all rows --
+                the XLA large-batch ceiling (batch-parallel upper bound)
+
+Prints one JSON line; writes TRAIN_PROFILE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+
+import numpy as np
+
+NDIM, NDATA = 27, 457
+N_TRAIN, N_VAL = 40_000, 2_000
+BATCH = 500
+EPOCHS = 30
+K = 2
+
+
+def main(compute_dtype="bfloat16"):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/linna_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import optax
+
+    from linna_tpu import losses as L
+    from linna_tpu import nn as N
+    from linna_tpu import transforms as T
+    from linna_tpu.train import _make_optimizer
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((NDIM, NDATA)) / np.sqrt(NDIM)
+    tx = np.asarray(rng.uniform(-1, 1, (N_TRAIN, NDIM)), np.float32)
+    ty = np.asarray(tx @ w, np.float32)
+    vx = np.asarray(rng.uniform(-1, 1, (N_VAL, NDIM)), np.float32)
+    vy = np.asarray(vx @ w, np.float32)
+    xt = T.fit_x_transform(tx, None)
+    yt = T.fit_y_transform(ty, ypositive=False)
+    tx, ty, vx, vy = (jnp.asarray(a) for a in (tx, ty, vx, vy))
+    tset = T.TransformSet(xt, yt, T.YTransformData(jnp.ones(NDATA, jnp.float32)))
+    loss_state = L.build_loss_state(np.zeros(NDATA), np.eye(NDATA), tset)
+    spec = N.make_model_spec("chto_v2", NDIM, NDATA)
+
+    optimizer = _make_optimizer()
+    keys = jax.random.split(jax.random.key(0), K)
+    params = jax.vmap(lambda k: N.init_model(k, spec))(keys)
+    opt_state = jax.jit(jax.vmap(optimizer.init))(params)
+
+    def member_loss(p, bx, by):
+        x = tset.x_transform(bx)
+        if compute_dtype is not None:
+            cd = jnp.dtype(compute_dtype)
+            p = jax.tree.map(lambda a: a.astype(cd), p)
+            x = x.astype(cd)
+        pred = N.apply_model(spec, p, x).astype(jnp.float32)
+        return L.loss_fn(loss_state, tset, pred, by)
+
+    n = tx.shape[0]
+    nb = n // BATCH
+
+    def epochs_program(params, opt_state, key, *, do_val, do_opt, do_bwd):
+        def one_epoch(carry, ekey):
+            params, opt_state = carry
+            perm = jax.random.permutation(ekey, n)[: nb * BATCH].reshape(nb, BATCH)
+
+            def step(c, idx):
+                p, s = c
+                if not do_bwd:
+                    return (p, s), member_loss(p, tx[idx], ty[idx])
+                loss, grads = jax.value_and_grad(member_loss)(p, tx[idx], ty[idx])
+                if not do_opt:
+                    # consume the grads without an update
+                    gsum = sum(jnp.sum(g) for g in jax.tree.leaves(grads))
+                    return (p, s), loss + 0.0 * gsum
+                updates, s = optimizer.update(grads, s, p)
+                return (optax.apply_updates(p, updates), s), loss
+
+            (params, opt_state), batch_losses = jax.lax.scan(
+                step, (params, opt_state), perm
+            )
+            if do_val:
+                val_pred = N.apply_model(spec, params, tset.x_transform(vx))
+                vm = L.val_metric_fn(loss_state, tset, val_pred, vy)
+            else:
+                vm = jnp.zeros(3, jnp.float32)
+            return (params, opt_state), (batch_losses, vm)
+
+        ekeys = jax.random.split(key, EPOCHS)
+        return jax.lax.scan(one_epoch, (params, opt_state), ekeys)
+
+    def carry_only(params, opt_state, key):
+        def one_epoch(carry, ekey):
+            params, opt_state = carry
+
+            def step(c, idx):
+                p, s = c
+                p = jax.tree.map(lambda a: a + jnp.float32(0) * idx[0], p)
+                return (p, s), jnp.float32(0)
+
+            perm = jax.random.permutation(ekey, n)[: nb * BATCH].reshape(nb, BATCH)
+            (params, opt_state), _ = jax.lax.scan(step, (params, opt_state), perm)
+            return (params, opt_state), jnp.float32(0)
+
+        ekeys = jax.random.split(key, EPOCHS)
+        return jax.lax.scan(one_epoch, (params, opt_state), ekeys)
+
+    def megabatch(params, key):
+        def one_epoch(carry, ekey):
+            p = carry
+            loss, grads = jax.value_and_grad(member_loss)(p, tx, ty)
+            p = jax.tree.map(lambda a, g: a - 1e-12 * g.astype(a.dtype), p, grads)
+            return p, loss
+
+        ekeys = jax.random.split(key, EPOCHS)
+        return jax.lax.scan(one_epoch, params, ekeys)
+
+    variants = {
+        "full": partial(epochs_program, do_val=True, do_opt=True, do_bwd=True),
+        "no_val": partial(epochs_program, do_val=False, do_opt=True, do_bwd=True),
+        "no_opt": partial(epochs_program, do_val=False, do_opt=False, do_bwd=True),
+        "fwd_only": partial(epochs_program, do_val=False, do_opt=False, do_bwd=False),
+    }
+
+    out = {}
+    key = jax.random.key(1)
+
+    def timeit(fn, *args):
+        r = fn(*args)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        r = fn(*args)
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / EPOCHS
+
+    for name, fn in variants.items():
+        vf = jax.jit(jax.vmap(fn, in_axes=(0, 0, None)))
+        s = timeit(vf, params, opt_state, key)
+        out[name] = round(s * 1e3, 2)
+        print(f"{name}: {s * 1e3:.2f} ms/epoch", flush=True)
+
+    s = timeit(jax.jit(jax.vmap(carry_only, in_axes=(0, 0, None))), params, opt_state, key)
+    out["carry_only"] = round(s * 1e3, 2)
+    print(f"carry_only: {s * 1e3:.2f} ms/epoch", flush=True)
+
+    s = timeit(jax.jit(jax.vmap(megabatch, in_axes=(0, None))), params, key)
+    out["megabatch"] = round(s * 1e3, 2)
+    print(f"megabatch: {s * 1e3:.2f} ms/epoch", flush=True)
+
+    result = {
+        "metric": "train_step_profile",
+        "unit": "ms/epoch",
+        "compute_dtype": str(compute_dtype),
+        "shape": {"ndim": NDIM, "ndata": NDATA, "n_train": N_TRAIN,
+                  "batch": BATCH, "k": K, "epochs_timed": EPOCHS},
+        "platform": jax.devices()[0].platform,
+        **out,
+    }
+    with open("TRAIN_PROFILE.json", "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(None if "f32" in sys.argv else "bfloat16")
