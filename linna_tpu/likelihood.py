@@ -128,36 +128,61 @@ def make_log_prob(
                 temperature=temperature,
             )
 
-    def log_prob(x: jax.Array) -> jax.Array:
+    # The run-dependent arrays (trained weights, fitted transforms, data,
+    # covariance, schedule scalars) live in an ``env`` pytree and the
+    # computation in a pure ``_pure(x, env)``.  The samplers thread ``env``
+    # through their jitted chunk programs as a traced argument (run.py), so
+    # the compiled HLO is data-independent: without this every iteration's
+    # freshly trained weights embed as HLO literals and the sampler chunk
+    # recompiles per iteration per run (~tens of seconds each on a
+    # remote-compile device) with zero persistent-cache reuse.
+    env = {
+        "params": stacked if is_ensemble else params,
+        "transforms": transforms,
+        "priors": prior_pack,
+        "data": data_j,
+        "inv_cov": inv_cov_j,
+        "temperature": jnp.asarray(temperature, jnp.float32),
+        "k_std": jnp.asarray(ensemble_k_std, jnp.float32),
+    }
+
+    def _pure(x: jax.Array, env) -> jax.Array:
+        tset = env["transforms"]
         x = jnp.asarray(x, jnp.float32)
-        x_phys = P.transform(prior_pack, x)
-        x_in = transforms.x_transform(x_phys)
+        x_phys = P.transform(env["priors"], x)
+        x_in = tset.x_transform(x_phys)
         if cdtype is not None:
             x_in = x_in.astype(cdtype)
         if is_ensemble:
             def chi2_one(p):
                 pred = N.apply_model(spec, p, x_in, linearmodel=linearmodel)
                 pred = pred.astype(jnp.float32)
-                m = transforms.y_data.inverse(transforms.y_transform(pred))
-                d = m - data_j
-                return jnp.einsum("...i,ij,...j->...", d, inv_cov_j, d)
+                m = tset.y_data.inverse(tset.y_transform(pred))
+                d = m - env["data"]
+                return jnp.einsum("...i,ij,...j->...", d, env["inv_cov"], d)
 
-            chi2 = jax.vmap(chi2_one)(stacked)  # (K, ...)
-            eff = jnp.mean(chi2, axis=0) + ensemble_k_std * jnp.std(chi2, axis=0)
-            lp = -0.5 * eff / temperature + P.lnprior(x)
+            chi2 = jax.vmap(chi2_one)(env["params"])  # (K, ...)
+            eff = jnp.mean(chi2, axis=0) + env["k_std"] * jnp.std(chi2, axis=0)
+            lp = -0.5 * eff / env["temperature"] + P.lnprior(x)
         else:
             pred_std = N.apply_model(
-                spec, params, x_in, linearmodel=linearmodel
+                spec, env["params"], x_in, linearmodel=linearmodel
             ).astype(jnp.float32)
             # standardized -> sigma-scaled -> raw data space
             # (Predictor.predict's y_transform then Log_prob's
             #  y_invtransform_data, linna/predictor_gpu.py:500 + util.py:1012)
-            m = transforms.y_data.inverse(transforms.y_transform(pred_std))
-            lp = like(m, data_j, inv_cov_j) / temperature + P.lnprior(x)
+            m = tset.y_data.inverse(tset.y_transform(pred_std))
+            lp = like(m, env["data"], env["inv_cov"]) / env["temperature"]
+            lp = lp + P.lnprior(x)
         if external_loglike is not None:
             lp = lp + external_loglike(x_phys)
         return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
 
+    def log_prob(x: jax.Array) -> jax.Array:
+        return _pure(x, env)
+
+    log_prob._pure = _pure
+    log_prob._env = env
     return log_prob
 
 

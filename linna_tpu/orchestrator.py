@@ -59,6 +59,25 @@ FINISH_MARKER = "finish.json"
 TRANSFORMS_FILE = "transforms.npz"
 
 
+def _enable_compile_cache() -> None:
+    """Turn on JAX's persistent compilation cache for every pipeline run.
+
+    The training/sampling programs are compiled per shape; with the cache on
+    (and the jitted programs keeping run-dependent data out of the HLO — see
+    Trainer._loss) a shape compiles once ever per machine instead of once
+    per run (~40 s per training program at the DES flagship shape on a
+    remote-compile device).  Opt out / relocate with ``LINNA_COMPILE_CACHE``
+    (set to ``0`` to disable)."""
+    cache_dir = os.environ.get("LINNA_COMPILE_CACHE", "/tmp/linna_jax_cache")
+    if cache_dir in ("0", ""):
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache support is best-effort
+        pass
+
+
 # --------------------------------------------------------------------- chains
 
 
@@ -461,6 +480,7 @@ def ml_sampler_core(
 
     Returns (chain, log_prob) of the final iteration, chain in physical space.
     """
+    _enable_compile_cache()
     params = dict(params or {})
     if not isinstance(nnmodel_in, str):
         nnmodel_in = getattr(nnmodel_in, "__name__", "chto_v2")

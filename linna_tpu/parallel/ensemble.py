@@ -120,18 +120,24 @@ class EnsembleTrainer:
 
     # ---------------------------------------------------------------- jitted
 
-    def _member_loss(self, params, bx, by):
-        x = self.transforms.x_transform(bx)
+    # transforms/loss_state ride as ARGUMENTS of the jitted programs, not
+    # closed-over constants: captured arrays embed as HLO literals, so each
+    # run's fitted transforms would change the HLO bytes and defeat the
+    # persistent compilation cache (~40 s recompile per iteration per fresh
+    # run at the DES flagship shape; see Trainer._loss)
+    def _member_loss(self, params, bx, by, tset, lstate):
+        x = tset.x_transform(bx)
         if self.compute_dtype is not None:
             cd = jnp.dtype(self.compute_dtype)
             params = jax.tree.map(lambda a: a.astype(cd), params)
             x = x.astype(cd)
         pred = N.apply_model(self.spec, params, x).astype(jnp.float32)
-        return L.loss_fn(self.loss_state, self.transforms, pred, by)
+        return L.loss_fn(lstate, tset, pred, by)
 
     @partial(jax.jit, static_argnums=(0, 8), donate_argnums=(1, 2))
     def _epochs_members(
-        self, params, opt_state, ekeys, train_x, train_y, val_x, val_y, n_epochs
+        self, params, opt_state, ekeys, train_x, train_y, val_x, val_y, n_epochs,
+        tset, lstate,
     ):
         """``n_epochs`` epochs for ALL members as one device program:
         vmap over the stacked member axis of the serial trainer's
@@ -152,19 +158,17 @@ class EnsembleTrainer:
                     p, s = c
                     bx = jax.lax.with_sharding_constraint(train_x[idx], bsh)
                     by = jax.lax.with_sharding_constraint(train_y[idx], bsh)
-                    loss, grads = jax.value_and_grad(self._member_loss)(p, bx, by)
+                    loss, grads = jax.value_and_grad(self._member_loss)(
+                        p, bx, by, tset, lstate
+                    )
                     updates, s = self.optimizer.update(grads, s, p)
                     return (optax.apply_updates(p, updates), s), loss
 
                 (params, opt_state), batch_losses = jax.lax.scan(
                     step, (params, opt_state), perm
                 )
-                val_pred = N.apply_model(
-                    self.spec, params, self.transforms.x_transform(val_x)
-                )
-                val_metric = L.val_metric_fn(
-                    self.loss_state, self.transforms, val_pred, val_y
-                )
+                val_pred = N.apply_model(self.spec, params, tset.x_transform(val_x))
+                val_metric = L.val_metric_fn(lstate, tset, val_pred, val_y)
                 if self.spec.out_size <= 16:
                     centered = val_pred - jnp.mean(val_pred, axis=0)
                     denom = jnp.sqrt(jnp.mean(centered**2, axis=0)) + 1e-20
@@ -195,7 +199,9 @@ class EnsembleTrainer:
         return jax.vmap(member)(params, opt_state, ekeys)
 
     @partial(jax.jit, static_argnums=(0, 6))
-    def _lr_sweep_members(self, params, order, lrs, train_x, train_y, num_iter):
+    def _lr_sweep_members(
+        self, params, order, lrs, train_x, train_y, num_iter, tset, lstate
+    ):
         """The LR range test for all members at once: one scanned sweep per
         member lane (same batch order and lr schedule as the serial
         ``lr_range_test``), returning raw loss traces f32[K, num_iter].
@@ -220,7 +226,7 @@ class EnsembleTrainer:
                 bx = jax.lax.with_sharding_constraint(train_x[idx], bsh)
                 by = jax.lax.with_sharding_constraint(train_y[idx], bsh)
                 loss, grads = jax.value_and_grad(self._member_loss)(
-                    p, bx, by
+                    p, bx, by, tset, lstate
                 )
                 updates, s = self.optimizer.update(grads, s, p)
                 return (optax.apply_updates(p, updates), s), loss
@@ -290,6 +296,8 @@ class EnsembleTrainer:
                 train_x,
                 train_y,
                 num_iter,
+                self.transforms,
+                self.loss_state,
             )
         )
         for m in missing:
@@ -308,14 +316,13 @@ class EnsembleTrainer:
             return
         self._last_disk_save = epoch
         # fetch is a collective on a multi-process mesh (member rows live on
-        # other hosts' devices) — every host calls it; only the primary writes
-        params_h = MH.fetch(self.params)
-        best_h = (
-            MH.fetch(self._best_params_mem)
-            if self._best_params_mem is not None
-            else None
+        # other hosts' devices) — every host calls it; only the primary
+        # writes.  One batched fetch: per-tree sequential fetches pay a
+        # device->host round trip per leaf (~100 leaves across the three
+        # trees — seconds per save on a tunneled device)
+        params_h, best_h, opt_h = MH.fetch(
+            (self.params, self._best_params_mem, self.opt_state)
         )
-        opt_h = MH.fetch(self.opt_state)
         if not MH.is_primary():
             return
         for m, d in enumerate(self.outdirs):
@@ -404,15 +411,19 @@ class EnsembleTrainer:
                 val_x,
                 val_y,
                 k,
+                self.transforms,
+                self.loss_state,
             )
             # fetch: identical host values on every process (collective when
             # member rows are sharded across hosts) — the Supervisor decisions
-            # below must match on all hosts for SPMD dispatch to stay aligned
-            losses_k = MH.fetch(losses_k)  # [K, k, nb]
-            vms_k = MH.fetch(vms_k).astype(np.float64)  # [K, k, 3]
-            eigs_k = MH.fetch(eigs_k)  # [K, k]
-            nb = losses_k.shape[-1]
-            cbv = MH.fetch(chunk_best_val).astype(np.float64)  # [K]
+            # below must match on all hosts for SPMD dispatch to stay aligned.
+            # One batched fetch for all four values: one round trip, not four.
+            losses_k, vms_k, eigs_k, cbv = MH.fetch(
+                (losses_k, vms_k, eigs_k, chunk_best_val)
+            )
+            vms_k = vms_k.astype(np.float64)  # [K, k, 3]
+            nb = losses_k.shape[-1]  # losses_k: [K, k, nb]
+            cbv = cbv.astype(np.float64)  # [K]
 
             improved = np.array(
                 [sups[m].observe_chunk_best(float(cbv[m])) for m in range(self.n_members)]

@@ -189,17 +189,27 @@ def fetch(x: Any) -> Any:
     Accepts pytrees; single-process it is a plain ``np.asarray``."""
     import jax
 
-    def one(a):
-        if (
+    def needs_gather(a):
+        return (
             isinstance(a, jax.Array)
             and not a.is_fully_addressable
             and not a.is_fully_replicated
-        ):
-            from jax.experimental import multihost_utils
+        )
 
-            # tiled=True: a global (cross-process) array comes back as the
-            # full logical value, identical on every process
-            return np.asarray(multihost_utils.process_allgather(a, tiled=True))
-        return np.asarray(a)
+    if any(needs_gather(a) for a in jax.tree.leaves(x)):
+        from jax.experimental import multihost_utils
 
-    return jax.tree.map(one, x)
+        def one(a):
+            if needs_gather(a):
+                # tiled=True: a global (cross-process) array comes back as
+                # the full logical value, identical on every process
+                return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+            return np.asarray(a)
+
+        return jax.tree.map(one, x)
+
+    # fully-addressable: jax.device_get starts every leaf's device->host
+    # copy before blocking, so an N-leaf tree costs ~one round trip instead
+    # of N sequential ones (a per-leaf np.asarray loop measured ~0.4 s per
+    # tree on a tunneled device)
+    return jax.tree.map(np.asarray, jax.device_get(x))

@@ -125,11 +125,18 @@ def hmc_chunk(
     nsteps: int,
     n_leapfrog: int = 10,
     mass: jax.Array | float = 1.0,
+    lp_env=None,
 ):
     """Advance ``nsteps`` HMC samples (each ``n_leapfrog`` leapfrog steps +
     MH accept with the kinetic-energy factor, reference
     linna/sampler.py:59-149 ``HamiltonianMove``); returns
-    (state, chain f32[nsteps, W, D], log_probs f32[nsteps, W])."""
+    (state, chain f32[nsteps, W, D], log_probs f32[nsteps, W]).
+
+    ``lp_env``: optional traced env for a pure ``log_prob_fn(x, lp_env)``
+    (see stretch.stretch_chunk)."""
+    if lp_env is not None:
+        pure_fn = log_prob_fn
+        log_prob_fn = lambda x: pure_fn(x, lp_env)
     vg_fn = _value_and_grad_batched(log_prob_fn)
     mass_v = jnp.broadcast_to(
         jnp.asarray(mass, jnp.float32), state.coords.shape[-1:]
@@ -374,10 +381,17 @@ def nuts_chunk(
     nsteps: int,
     max_depth: int = 5,
     mass: jax.Array | float = 1.0,
+    lp_env=None,
 ):
     """Advance ``nsteps`` NUTS samples for the whole ensemble; dual-averaging
     adaptation runs for the first ``state.m_adapt`` samples
-    (reference linna/sampler.py:214-246).  Returns (state, chain, log_probs)."""
+    (reference linna/sampler.py:214-246).  Returns (state, chain, log_probs).
+
+    ``lp_env``: optional traced env for a pure ``log_prob_fn(x, lp_env)``
+    (see stretch.stretch_chunk)."""
+    if lp_env is not None:
+        pure_fn = log_prob_fn
+        log_prob_fn = lambda x: pure_fn(x, lp_env)
     vg1 = _single_vg(log_prob_fn)
     d = state.coords.shape[-1]
     mass_v = jnp.broadcast_to(jnp.asarray(mass, jnp.float32), (d,))

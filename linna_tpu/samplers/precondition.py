@@ -37,15 +37,39 @@ class Preconditioner(NamedTuple):
         return self.center + (np.asarray(y) / self.scales) @ self.basis.T
 
     def wrap_log_prob(self, log_prob_fn: Callable) -> Callable:
-        """Batched log-prob in the preconditioned space (jit/vmap/grad-safe)."""
+        """Batched log-prob in the preconditioned space (jit/vmap/grad-safe).
+
+        Propagates the likelihood's ``(_pure, _env)`` decomposition (see
+        likelihood.make_log_prob): the reparameterization arrays join the
+        env so the sampler chunk HLO stays free of run-dependent constants."""
         center = jnp.asarray(self.center, jnp.float32)
         basis = jnp.asarray(self.basis, jnp.float32)
         inv_scales = jnp.asarray(1.0 / self.scales, jnp.float32)
 
-        def wrapped(y):
-            x = center + (y * inv_scales) @ basis.T
-            return log_prob_fn(x)
+        inner_pure = getattr(log_prob_fn, "_pure", None)
+        if inner_pure is None:
+            def wrapped(y):
+                x = center + (y * inv_scales) @ basis.T
+                return log_prob_fn(x)
 
+            return wrapped
+
+        def _pure(y, env):
+            x = env["center"] + (y * env["inv_scales"]) @ env["basis"].T
+            return inner_pure(x, env["inner"])
+
+        env = {
+            "center": center,
+            "basis": basis,
+            "inv_scales": inv_scales,
+            "inner": log_prob_fn._env,
+        }
+
+        def wrapped(y):
+            return _pure(y, env)
+
+        wrapped._pure = _pure
+        wrapped._env = env
         return wrapped
 
     def draw_x0(self, rng: np.random.Generator, nwalkers: int) -> np.ndarray:

@@ -119,6 +119,15 @@ def run_ensemble(
     key = jax.random.key(seed)
     tfn = _np_transform(transform)
 
+    def _lp_split(fn):
+        """(pure_fn, env) when the likelihood exposes its env decomposition
+        (likelihood.make_log_prob), else (fn, None).  The env rides through
+        the jitted chunk programs as a traced argument so trained weights
+        never embed in the HLO — the chunk compiles once per shape ever
+        (persistent cache) instead of once per iteration per run."""
+        pure = getattr(fn, "_pure", None)
+        return (pure, fn._env) if pure is not None else (fn, None)
+
     if method in ("emcee",) + GRADIENT_METHODS:
         backend = backends.EmceeBackend(os.path.join(outdir, EMCEE_FILENAME))
     elif method == "zeus":
@@ -180,6 +189,8 @@ def run_ensemble(
                 )
         log_prob_fn = precond.wrap_log_prob(log_prob_fn)
 
+    lp_fn, lp_env = _lp_split(log_prob_fn)
+
     iteration = 0
     if resume:
         x0 = np.asarray(backend.get_last_sample(), dtype=np.float32)
@@ -192,7 +203,9 @@ def run_ensemble(
         # burn-in with restart from the high-probability set
         key, bkey, rkey = jax.random.split(key, 3)
         bstate = stretch.init_state(bkey, jnp.asarray(x0), log_prob_fn)
-        bstate, bchain, blps = stretch.stretch_chunk(log_prob_fn, bstate, 100, a)
+        bstate, bchain, blps = stretch.stretch_chunk(
+            lp_fn, bstate, 100, a, lp_env=lp_env
+        )
         flat = MH.fetch(bchain).reshape(-1, ndim)
         flat_lp = MH.fetch(blps).reshape(-1)
         top = flat[np.argsort(flat_lp)[::-1][: int(50 * nwalkers)]]
@@ -301,7 +314,7 @@ def run_ensemble(
         # writes the HDF5 file
         if method == "emcee":
             state, chain, lps = stretch.stretch_chunk(
-                log_prob_fn, state, check_every, a
+                lp_fn, state, check_every, a, lp_env=lp_env
             )
             chain, lps = MH.fetch(chain), MH.fetch(lps)
             acc = MH.fetch(state.accepted).astype(np.float64)
@@ -316,11 +329,11 @@ def run_ensemble(
         elif method in GRADIENT_METHODS:
             if method == "hmc":
                 state, chain, lps = hmc.hmc_chunk(
-                    log_prob_fn, state, check_every, n_leapfrog
+                    lp_fn, state, check_every, n_leapfrog, lp_env=lp_env
                 )
             else:
                 state, chain, lps = hmc.nuts_chunk(
-                    log_prob_fn, state, check_every, max_depth
+                    lp_fn, state, check_every, max_depth, lp_env=lp_env
                 )
                 # expected acceptances: cumulative mean Metropolis alpha per
                 # walker (H&G Alg. 6) — the real statistic, not a constant
@@ -339,7 +352,7 @@ def run_ensemble(
             prev_accepted = acc
         else:
             state, chain, lps = slicemove.slice_chunk(
-                log_prob_fn, state, check_every, slice_max_steps
+                lp_fn, state, check_every, slice_max_steps, lp_env=lp_env
             )
             if n_chunks_done < tune_chunks:
                 state = slicemove.tune_mu(state)

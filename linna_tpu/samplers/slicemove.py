@@ -183,9 +183,16 @@ def slice_chunk(
     state: SliceState,
     nsteps: int,
     max_steps: int = 100,
+    lp_env=None,
 ):
     """Advance ``nsteps`` ensemble-slice steps on device; returns
-    (state, chain f32[nsteps, W, D], log_probs f32[nsteps, W])."""
+    (state, chain f32[nsteps, W, D], log_probs f32[nsteps, W]).
+
+    ``lp_env``: optional traced env for a pure ``log_prob_fn(x, lp_env)``
+    (see stretch.stretch_chunk)."""
+    if lp_env is not None:
+        pure_fn = log_prob_fn
+        log_prob_fn = lambda x: pure_fn(x, lp_env)
 
     def step(state, _):
         state = _one_step(log_prob_fn, max_steps, state)

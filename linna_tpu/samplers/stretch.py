@@ -84,9 +84,18 @@ def stretch_chunk(
     state: EnsembleState,
     nsteps: int,
     a: float = 2.0,
+    lp_env=None,
 ):
     """Advance ``nsteps`` stretch-move steps; returns (state, chain, log_probs)
-    with chain f32[nsteps, W, D] and log_probs f32[nsteps, W]."""
+    with chain f32[nsteps, W, D] and log_probs f32[nsteps, W].
+
+    ``lp_env``: optional traced pytree for a pure two-argument likelihood
+    ``log_prob_fn(x, lp_env)`` (likelihood.make_log_prob's ``_pure``/``_env``
+    split) — keeps trained weights/transforms out of the compiled HLO so the
+    chunk program persists in the compilation cache across runs."""
+    if lp_env is not None:
+        pure_fn = log_prob_fn
+        log_prob_fn = lambda x: pure_fn(x, lp_env)
 
     def step(state, _):
         state = _one_step(log_prob_fn, a, state)

@@ -329,18 +329,26 @@ class Trainer:
 
     # ---------------------------------------------------------------- jitted
 
-    def _loss(self, params, bx, by):
-        x = self.transforms.x_transform(bx)
+    # transforms/loss_state are threaded through the jitted programs as
+    # ARGUMENTS (not closed-over constants): captured jnp arrays embed as HLO
+    # literals, so every fresh run's median/MAD transforms and inverse
+    # covariance would change the HLO bytes and defeat the persistent
+    # compilation cache (measured: ~40 s recompile per iteration per run at
+    # the DES flagship shape; as arguments the program is data-independent
+    # and compiles once per shape, ever)
+    def _loss(self, params, bx, by, tset, lstate):
+        x = tset.x_transform(bx)
         if self.compute_dtype is not None:
             cd = jnp.dtype(self.compute_dtype)
             params = jax.tree.map(lambda a: a.astype(cd), params)
             x = x.astype(cd)
         pred = N.apply_model(self.spec, params, x).astype(jnp.float32)
-        return L.loss_fn(self.loss_state, self.transforms, pred, by)
+        return L.loss_fn(lstate, tset, pred, by)
 
     @partial(jax.jit, static_argnums=(0, 8), donate_argnums=(1, 2))
     def _epochs_tracked(
-        self, params, opt_state, key, train_x, train_y, val_x, val_y, n_epochs
+        self, params, opt_state, key, train_x, train_y, val_x, val_y, n_epochs,
+        tset, lstate,
     ):
         """``n_epochs`` full epochs as ONE device program (scan over epochs,
         scan over minibatches inside) — one host round trip per chunk
@@ -363,7 +371,7 @@ class Trainer:
             def step(c, idx):
                 p, s = c
                 loss, grads = jax.value_and_grad(self._loss)(
-                    p, train_x[idx], train_y[idx]
+                    p, train_x[idx], train_y[idx], tset, lstate
                 )
                 updates, s = self.optimizer.update(grads, s, p)
                 return (optax.apply_updates(p, updates), s), loss
@@ -371,12 +379,8 @@ class Trainer:
             (params, opt_state), batch_losses = jax.lax.scan(
                 step, (params, opt_state), perm
             )
-            val_pred = N.apply_model(
-                self.spec, params, self.transforms.x_transform(val_x)
-            )
-            val_metric = L.val_metric_fn(
-                self.loss_state, self.transforms, val_pred, val_y
-            )
+            val_pred = N.apply_model(self.spec, params, tset.x_transform(val_x))
+            val_metric = L.val_metric_fn(lstate, tset, val_pred, val_y)
             if self.spec.out_size <= 16:
                 centered = val_pred - jnp.mean(val_pred, axis=0)
                 denom = jnp.sqrt(jnp.mean(centered**2, axis=0)) + 1e-20
@@ -401,8 +405,8 @@ class Trainer:
         return params, opt_state, losses, vms, eigs, best_val, best_params
 
     @partial(jax.jit, static_argnums=0)
-    def _train_step(self, params, opt_state, bx, by):
-        loss, grads = jax.value_and_grad(self._loss)(params, bx, by)
+    def _train_step(self, params, opt_state, bx, by, tset, lstate):
+        loss, grads = jax.value_and_grad(self._loss)(params, bx, by, tset, lstate)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -514,7 +518,14 @@ class Trainer:
                 self.params, self.opt_state, losses_k, vms_k, eigs_k,
                 chunk_best_val, chunk_best_params,
             ) = self._epochs_tracked(
-                self.params, self.opt_state, ekey, train_x, train_y, val_x, val_y, k
+                self.params, self.opt_state, ekey, train_x, train_y, val_x, val_y,
+                k, self.transforms, self.loss_state,
+            )
+            # one batched device->host transfer (device_get overlaps the
+            # per-leaf copies) instead of three sequential blocking ones —
+            # each blocking copy pays a full round trip on a tunneled device
+            losses_k, vms_k, eigs_k, chunk_best_val = jax.device_get(
+                (losses_k, vms_k, eigs_k, chunk_best_val)
             )
             losses_k = np.asarray(losses_k)
             vms_k = np.asarray(vms_k, dtype=np.float64)
@@ -628,7 +639,8 @@ def lr_range_test(
         b = it % nb
         idx = jnp.asarray(order[b * bs : (b + 1) * bs])
         params, opt_state, loss = trainer._train_step(
-            params, opt_state, train_x[idx], train_y[idx]
+            params, opt_state, train_x[idx], train_y[idx],
+            trainer.transforms, trainer.loss_state,
         )
         raw.append(float(loss))
 

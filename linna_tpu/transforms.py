@@ -18,6 +18,7 @@ Bessel-corrected std (torch default), Y statistics use median + MAD with a
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Optional, Sequence
 
 import jax
@@ -67,17 +68,26 @@ class YTransformData(NamedTuple):
         return cov * inv_sigma[:, None] * inv_sigma[None, :]
 
 
-class YTransform(NamedTuple):
+@dataclasses.dataclass(frozen=True)
+class YTransform:
     """NN-output destandardization (reference linna/util.py:512-596).
 
     ``apply``: standardized NN output -> sigma-scaled data space
     (``y*std + mean`` or ``exp(y*std + mean)`` when ``ypositive``).
     ``inverse``: sigma-scaled data space -> standardized space.
+
+    A registered dataclass (not a NamedTuple) so ``ypositive`` is pytree
+    *metadata*: the transform set is passed as an argument into the jitted
+    training programs (see Trainer._loss), and a bool leaf would arrive
+    there as a tracer and break the Python ``if`` branches below.
     """
 
     mean: jax.Array  # f32[N]
     std: jax.Array  # f32[N]
     ypositive: bool
+
+    def _replace(self, **kw) -> "YTransform":
+        return dataclasses.replace(self, **kw)
 
     def __call__(self, y: jax.Array) -> jax.Array:
         out = y * self.std + self.mean
@@ -108,6 +118,11 @@ class YTransform(NamedTuple):
             cov = np.log1p(cov0)
         inv_std = 1.0 / std
         return cov * inv_std[:, None] * inv_std[None, :]
+
+
+jax.tree_util.register_dataclass(
+    YTransform, data_fields=["mean", "std"], meta_fields=["ypositive"]
+)
 
 
 class TransformSet(NamedTuple):

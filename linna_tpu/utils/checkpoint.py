@@ -35,7 +35,11 @@ def _path_key(path) -> str:
 
 
 def _flatten(tree: Any) -> Dict[str, np.ndarray]:
-    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    # device_get first: it starts all leaves' device->host copies before
+    # blocking, so the transfer costs ~one round trip instead of one per
+    # leaf (an opt_state has ~60 leaves; sequential np.asarray fetches
+    # measured >1 s per checkpoint on a tunneled device)
+    leaves = jax.tree_util.tree_flatten_with_path(jax.device_get(tree))[0]
     return {_path_key(path): np.asarray(leaf) for path, leaf in leaves}
 
 

@@ -54,13 +54,20 @@ def plot_training_progress(
         fig, ax = plt.subplots()
         tl = np.asarray(train_losses, dtype=float)
         vm = np.asarray(val_metrics, dtype=float)
+        # decimate long series: the plot is refreshed every ~100 epochs
+        # during training and the per-batch loss trace grows to ~10^5
+        # points by the end of a production run — rendering all of them
+        # costs seconds per refresh for no visual difference at dpi=80
+        max_pts = 2000
         if len(tl):
             x = np.arange(len(tl))
             if batches_per_epoch:
                 x = x / batches_per_epoch
-            ax.plot(x, tl, label="train loss", alpha=0.6)
+            stride = max(len(tl) // max_pts, 1)
+            ax.plot(x[::stride], tl[::stride], label="train loss", alpha=0.6)
         if len(vm):
-            ax.plot(np.arange(len(vm)), vm[:, 0], label="val loss")
+            stride = max(len(vm) // max_pts, 1)
+            ax.plot(np.arange(len(vm))[::stride], vm[::stride, 0], label="val loss")
         ax.set_yscale("log")
         ax.set_xlabel("epoch")
         ax.legend()
