@@ -48,7 +48,7 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/linna_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from __graft_entry__ import _build_problem
     from linna_tpu import likelihood as LK

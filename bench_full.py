@@ -37,7 +37,7 @@ def _enable_compile_cache():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/linna_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP.json"):

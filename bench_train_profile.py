@@ -37,7 +37,7 @@ def main(compute_dtype="bfloat16"):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/linna_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     import optax
 

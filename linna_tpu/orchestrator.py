@@ -73,7 +73,11 @@ def _enable_compile_cache() -> None:
         return
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERY compile, including sub-second tiny-op programs: on a
+        # remote-compile device even trivial eager ops cost ~1 s each to
+        # compile, and a fresh process re-pays dozens of them (measured
+        # ~2 min of pre-pipeline wall at the flagship before this was 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # pragma: no cover - cache support is best-effort
         pass
 

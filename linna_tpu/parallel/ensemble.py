@@ -78,7 +78,10 @@ class EnsembleTrainer:
     seed=seeds[k])`` run, so the two paths are interchangeable on disk.
     """
 
-    save_every = 50
+    # coarse disk-checkpoint cadence (see Trainer.save_every): each save
+    # fetches params+best+opt (~45 MB at the DES shape) over the device
+    # link and writes K npz files — far more than re-training the interval
+    save_every = 200
     epochs_per_dispatch = 10
 
     def __init__(
@@ -483,7 +486,10 @@ class EnsembleTrainer:
 
             i += k
             self._save(i - 1)
-            if last_plot == 0 or i - last_plot >= 100:
+            # coarse plot cadence: each matplotlib render is ~0.5-1 s of
+            # host time serial with training (K figures per refresh); the
+            # final trainniing.png is always written below
+            if last_plot == 0 or i - last_plot >= 500:
                 last_plot = i
                 if MH.is_primary():
                     for m, d in enumerate(self.outdirs):

@@ -93,14 +93,22 @@ def calc_hess_mass_mat(
     x0 = np.asarray(x0, dtype=np.float64).reshape(-1)
     ndim = x0.size
 
-    def single(x):
-        return jnp.squeeze(log_prob_fn(jnp.asarray(x, jnp.float32)[None, :]))
+    # the likelihood's (_pure, env) decomposition (likelihood.make_log_prob)
+    # keeps the trained weights out of the MAP/Hessian programs' HLO so they
+    # persist in the compilation cache across runs/iterations
+    pure = getattr(log_prob_fn, "_pure", None)
+    env = getattr(log_prob_fn, "_env", None)
+    if pure is None:
+        pure = lambda x, _env: log_prob_fn(x)
 
-    neg = jax.jit(lambda x: -single(x))
-    neg_grad = jax.jit(jax.grad(lambda x: -single(x)))
+    def single(x, e):
+        return jnp.squeeze(pure(jnp.asarray(x, jnp.float32)[None, :], e))
 
-    f = lambda x: float(neg(x))
-    g = lambda x: np.asarray(neg_grad(x), dtype=np.float64)
+    neg = jax.jit(lambda x, e: -single(x, e))
+    neg_grad = jax.jit(jax.grad(lambda x, e: -single(x, e), argnums=0))
+
+    f = lambda x: float(neg(x, env))
+    g = lambda x: np.asarray(neg_grad(x, env), dtype=np.float64)
 
     # Nelder-Mead warm start then gradient polish (reference order)
     res = optimize.minimize(
@@ -112,7 +120,9 @@ def calc_hess_mass_mat(
     center = np.asarray(res.x, dtype=np.float64)
 
     hess = np.asarray(
-        jax.jit(jax.hessian(lambda x: -single(x)))(jnp.asarray(center, jnp.float32)),
+        jax.jit(jax.hessian(lambda x, e: -single(x, e), argnums=0))(
+            jnp.asarray(center, jnp.float32), env
+        ),
         dtype=np.float64,
     )
     hess = 0.5 * (hess + hess.T)

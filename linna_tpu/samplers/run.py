@@ -191,6 +191,23 @@ def run_ensemble(
 
     lp_fn, lp_env = _lp_split(log_prob_fn)
 
+    def _init_jit(init_fn, skey, x0_dev, **kw):
+        """Run a sampler-state init as ONE jitted device program.
+
+        Eagerly, ``init_fn``'s log-prob / reasonable-epsilon math executes
+        op-by-op — dozens of tiny XLA compiles per run (measured: minutes of
+        wall on a remote-compile device, the faulthandler watchdog caught
+        ``init_slice_state`` inside ``backend_compile_and_load``).  Jitted
+        with the likelihood env as a traced argument the whole init is one
+        data-independent program that persists in the compilation cache."""
+        if lp_env is None:
+            return jax.jit(lambda k, x: init_fn(k, x, log_prob_fn, **kw))(
+                skey, x0_dev
+            )
+        return jax.jit(
+            lambda k, x, env: init_fn(k, x, lambda xx: lp_fn(xx, env), **kw)
+        )(skey, x0_dev, lp_env)
+
     iteration = 0
     if resume:
         x0 = np.asarray(backend.get_last_sample(), dtype=np.float32)
@@ -202,7 +219,7 @@ def run_ensemble(
             backend.reset(nwalkers, ndim)
         # burn-in with restart from the high-probability set
         key, bkey, rkey = jax.random.split(key, 3)
-        bstate = stretch.init_state(bkey, jnp.asarray(x0), log_prob_fn)
+        bstate = _init_jit(stretch.init_state, bkey, jnp.asarray(x0))
         bstate, bchain, blps = stretch.stretch_chunk(
             lp_fn, bstate, 100, a, lp_env=lp_env
         )
@@ -271,15 +288,13 @@ def run_ensemble(
         x0_dev = _place(x0)
         key, skey = jax.random.split(key)
         if method == "emcee":
-            state = stretch.init_state(skey, x0_dev, log_prob_fn)
+            state = _init_jit(stretch.init_state, skey, x0_dev)
         elif method == "hmc":
-            state = hmc.init_hmc_state(skey, x0_dev, log_prob_fn)
+            state = _init_jit(hmc.init_hmc_state, skey, x0_dev)
         elif method == "nuts":
-            state = hmc.init_nuts_state(
-                skey, x0_dev, log_prob_fn, m_adapt=m_adapt
-            )
+            state = _init_jit(hmc.init_nuts_state, skey, x0_dev, m_adapt=m_adapt)
         else:
-            state = slicemove.init_slice_state(skey, x0_dev, log_prob_fn)
+            state = _init_jit(slicemove.init_slice_state, skey, x0_dev)
     # Tau recomputation cadence: the batched-FFT tau estimate over the
     # trailing window is the dominant host cost per check at production
     # sizes (seconds per call), and re-estimating it every 100 steps on a

@@ -445,8 +445,11 @@ class Trainer:
     # TPU host each save is a full params+opt-state device->host transfer
     # (~15 MB for the DES-scale model; measured ~8 s/epoch over a tunneled
     # link, 100x the epoch's compute).  The best params live on device
-    # between saves, so recovery semantics are unchanged.
-    save_every = 50
+    # between saves, so recovery semantics are unchanged: a crash loses at
+    # most save_every epochs of progress (~3 s of device compute at the
+    # flagship shape — the fetch+write per save costs more than retraining
+    # the interval, so the cadence is deliberately coarse).
+    save_every = 200
     # Epochs per device dispatch: whole-chunk scans cut the per-epoch host
     # round trip (~0.15 s over a tunneled link vs ~7 ms of compute).
     epochs_per_dispatch = 10
@@ -568,9 +571,12 @@ class Trainer:
             i += k
             self._save(i - 1, False)
 
-            # training_progress.png roughly every 100 epochs
-            # (linna/predictor_gpu.py:422-442)
-            if self.outdir is not None and i - last_plot >= 100:
+            # training_progress.png periodically (the reference refreshed
+            # every ~100 epochs, linna/predictor_gpu.py:422-442; each
+            # matplotlib render costs ~0.5-1 s of host time serial with
+            # training, so the cadence here is coarser — the final
+            # trainniing.png below is always written)
+            if self.outdir is not None and i - last_plot >= 500:
                 last_plot = i
                 plots.plot_training_progress(
                     train_losses, val_metrics,
