@@ -138,6 +138,7 @@ def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP
     # chain (file-gated: re-running is incremental) until R-hat passes.
     t_polish0 = time.time()
     polish_rounds = 0
+    log_prob = pack = None
     while np.max(rhat) - 1.0 > 0.01 and polish_rounds < 12:
         polish_rounds += 1
         from linna_tpu import likelihood as LK
@@ -145,13 +146,14 @@ def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP
         from linna_tpu import priors as PR
         from linna_tpu.samplers import run as sampler_run
 
-        trainer = OC.retrieve_model(final_dir, T.NDIM, T.NDATA)
-        members = OC.retrieve_ensemble_params(final_dir, trainer)
-        pack = PR.priors_from_list(params["sampled_params"])
-        log_prob = LK.make_log_prob(
-            trainer.spec, members, trainer.transforms, pack, data,
-            np.linalg.inv(cov_dense),
-        )
+        if log_prob is None:  # emulator/priors are fixed — build once
+            trainer = OC.retrieve_model(final_dir, T.NDIM, T.NDATA)
+            members = OC.retrieve_ensemble_params(final_dir, trainer)
+            pack = PR.priors_from_list(params["sampled_params"])
+            log_prob = LK.make_log_prob(
+                trainer.spec, members, trainer.transforms, pack, data,
+                np.linalg.inv(cov_dense),
+            )
         n_now = backend.iteration
         sampler_run.run_ensemble(
             log_prob,
@@ -165,6 +167,12 @@ def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP
             stdshift=1e-9,
             nk=5,
             max_iterations=n_now + 2000,
+            # the R-hat gate above is the stopping rule here, so the
+            # sampler's own tau re-estimates are pure overhead (measured:
+            # they dominated polish wall — batched FFTs over the full
+            # 10k-step window at every geometric-cadence check); push the
+            # cadence past max_iterations so polish is pure sampling
+            tau_check_growth=1e9,
             seed=100 + polish_rounds,
         )
         rhat = _rhat()
