@@ -160,19 +160,15 @@ def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP
             backend.get_last_sample(),
             final_dir,
             method=final_method,
-            transform=lambda x, _p=pack: np.asarray(PR.transform(_p, x)),
-            ntimes=50,
-            tautol=1e-9,  # force extension: unreachable until max_iterations
-            meanshift=1e-9,
-            stdshift=1e-9,
-            nk=5,
+            transform=lambda x, _p=pack: PR.transform_np(_p, x),
             max_iterations=n_now + 2000,
             # the R-hat gate above is the stopping rule here, so the
             # sampler's own tau re-estimates are pure overhead (measured:
             # they dominated polish wall — batched FFTs over the full
-            # 10k-step window at every geometric-cadence check); push the
-            # cadence past max_iterations so polish is pure sampling
-            tau_check_growth=1e9,
+            # 10k-step window); disable them and use big chunks so polish
+            # is pure device sampling
+            convergence_check=False,
+            check_every=500,
             seed=100 + polish_rounds,
         )
         rhat = _rhat()

@@ -671,9 +671,7 @@ def ml_sampler_core(
                         x0,
                         outdir_in,
                         method=methods[i],
-                        transform=lambda x, _p=pack_run: np.asarray(
-                            P.transform(_p, x)
-                        ),
+                        transform=lambda x, _p=pack_run: P.transform_np(_p, x),
                         ntimes=ntimes,
                         tautol=tautol,
                         meanshift=meanshift,

@@ -26,6 +26,7 @@ __all__ = [
     "gauss2unif",
     "invgauss2unif",
     "transform",
+    "transform_np",
     "inv_transform",
     "lnprior",
     "log_prior_physical",
@@ -103,6 +104,26 @@ def transform(pack: PriorPack, x: jax.Array) -> jax.Array:
     gauss = x * pack.arg2 + pack.arg1
     flat = gauss2unif(x) * (pack.arg2 - pack.arg1) + pack.arg1
     return jnp.where(pack.is_gauss, gauss, flat)
+
+
+def transform_np(pack: PriorPack, x: np.ndarray) -> np.ndarray:
+    """Host-side NumPy twin of :func:`transform`.
+
+    The sampling loop applies the whitened->physical map to every persisted
+    chunk (reference linna/sampler.py:340 ``transform`` before the HDF5
+    append).  Going through the JAX version costs a device dispatch + fetch
+    per chunk — pure round-trip latency on a tunneled device — for what is
+    elementwise scalar math on data that is already on the host.
+    """
+    from scipy.special import ndtr
+
+    x = np.asarray(x, dtype=np.float64)
+    is_gauss = np.asarray(pack.is_gauss)
+    arg1 = np.asarray(pack.arg1, dtype=np.float64)
+    arg2 = np.asarray(pack.arg2, dtype=np.float64)
+    gauss = x * arg2 + arg1
+    flat = ndtr(x) * (arg2 - arg1) + arg1
+    return np.where(is_gauss, gauss, flat)
 
 
 def inv_transform(pack: PriorPack, x: jax.Array) -> jax.Array:

@@ -124,19 +124,17 @@ class EmceeBackend(_SamplerStateMixin):
             g.attrs["iteration"] = it + n
 
     def get_chain(self, flat: bool = False, discard: int = 0, thin: int = 1) -> np.ndarray:
-        with h5py.File(self.filename, "r") as f:
-            g = f[self.name]
-            v = g["chain"][: int(g.attrs["iteration"])]
-        v = v[discard + thin - 1 : len(v) : thin]
+        v = self.get_value("chain", discard=discard, thin=thin)
         if flat:
             return v.reshape(-1, v.shape[-1])
         return v
 
     def get_value(self, name: str, flat: bool = False, discard: int = 0, thin: int = 1):
+        # slice inside h5py so a windowed read (e.g. the sampler's lazy tau
+        # hydration, run.py _hydrate) only touches the needed file chunks
         with h5py.File(self.filename, "r") as f:
             g = f[self.name]
-            v = g[name][: int(g.attrs["iteration"])]
-        v = v[discard + thin - 1 : len(v) : thin]
+            v = g[name][discard + thin - 1 : int(g.attrs["iteration"]) : thin]
         if flat:
             s = (-1,) + v.shape[2:]
             return v.reshape(s)
@@ -204,9 +202,10 @@ class ZeusBackend(_SamplerStateMixin):
                 ds[n0:] = arr
 
     def get_value(self, name: str, flat: bool = False, discard: int = 0, thin: int = 1):
+        # slice inside h5py: a windowed read only inflates the needed gzip
+        # chunks (run.py _hydrate reads just the trailing tau window)
         with h5py.File(self.filename, "r") as f:
-            v = np.copy(f[name])
-        v = v[discard + thin - 1 : len(v) : thin]
+            v = f[name][discard + thin - 1 : f[name].shape[0] : thin]
         if flat:
             s = (-1,) + v.shape[2:]
             return v.reshape(s)

@@ -49,7 +49,9 @@ def _auto_window(taus: np.ndarray, c: float) -> int:
     return len(taus) - 1
 
 
-def integrated_time(chain: np.ndarray, c: float = 5.0) -> np.ndarray:
+def integrated_time(
+    chain: np.ndarray, c: float = 5.0, max_walkers: int | None = None
+) -> np.ndarray:
     """Per-parameter integrated autocorrelation time tau[D].
 
     ``chain`` has shape (nsteps, nwalkers, ndim); the autocorrelation is
@@ -62,10 +64,21 @@ def integrated_time(chain: np.ndarray, c: float = 5.0) -> np.ndarray:
     per-series loop was the sampling loop's hidden host bottleneck at
     production window sizes: 27 params x 128 walkers = 3456 separate FFTs
     per convergence check).
+
+    ``max_walkers``: when set and ``nwalkers`` exceeds it, the walker-mean
+    autocorrelation is taken over a deterministic stride subset of
+    ``<= max_walkers`` walkers.  Each walker's ACF is an independent,
+    identically-distributed estimate of the same function, so subsetting
+    only raises the estimator's standard error by sqrt(nwalkers/subset) —
+    e.g. 64 of 256 walkers doubles it, still far below emcee's default
+    regime (32 walkers total) — while cutting the per-check FFT cost
+    proportionally.
     """
     chain = np.asarray(chain)
     if chain.ndim != 3:
         raise ValueError("chain must be (nsteps, nwalkers, ndim)")
+    if max_walkers is not None and chain.shape[1] > max_walkers:
+        chain = chain[:, :: -(-chain.shape[1] // max_walkers), :]
     nsteps, nwalkers, ndim = chain.shape
     try:  # pocketfft: multithreaded batched transforms, fast non-pow2 sizes
         from scipy import fft as sfft

@@ -61,13 +61,15 @@ PRECOND_FILENAME = "precond.npz"
 
 def _state_to_blob(state) -> dict:
     """Sampler NamedTuple -> flat numpy dict (PRNG key via key_data).
-    ``fetch`` is a collective on a multi-process mesh — call on all hosts."""
-    blob = {}
-    for name, v in zip(state._fields, state):
-        blob[name] = (
-            np.asarray(jax.random.key_data(v)) if name == "key" else MH.fetch(v)
-        )
-    return blob
+    ``fetch`` is a collective on a multi-process mesh — call on all hosts.
+    One batched fetch for the whole state: per-field fetches each pay a
+    device round trip (~20 ms on a tunneled TPU), every chunk."""
+    return MH.fetch(
+        {
+            name: (jax.random.key_data(v) if name == "key" else v)
+            for name, v in zip(state._fields, state)
+        }
+    )
 
 
 def _blob_to_state(cls, blob: dict, place):
@@ -97,6 +99,8 @@ def run_ensemble(
     max_iterations: int = 100_000,
     tau_window: int = 20_000,
     tau_check_growth: float = 1.05,
+    tau_walkers: int = 64,
+    convergence_check: bool = True,
     seed: int = 0,
     a: float = 2.0,
     slice_max_steps: int = 100,
@@ -112,7 +116,17 @@ def run_ensemble(
     ``method``: "emcee" (affine-invariant stretch, file ``chemcee_256.h5``)
     or "zeus" (ensemble slice, file ``zeus_256.h5``) — names kept for
     API parity with the reference (linna/util.py:1474-1504).
+
+    ``tau_walkers``: walker-subset cap for the tau estimate (see
+    convergence.integrated_time) — bounds the host FFT cost per check at
+    large ensembles.  Set <= 0 or None to use every walker.
+
+    ``convergence_check=False`` runs exactly ``max_iterations`` steps with no
+    tau/stationarity evaluation at all (callers extending a finished chain
+    under their own stopping rule, e.g. an external R-hat gate).
     """
+    if not tau_walkers or tau_walkers <= 0:
+        tau_walkers = None
     os.makedirs(outdir, exist_ok=True)
     x0 = np.asarray(x0, dtype=np.float32)
     nwalkers, ndim = x0.shape
@@ -209,11 +223,15 @@ def run_ensemble(
         )(skey, x0_dev, lp_env)
 
     iteration = 0
+    hist_pending = 0  # persisted steps not yet hydrated into the window
     if resume:
         x0 = np.asarray(backend.get_last_sample(), dtype=np.float32)
-        prev_chain = np.asarray(backend.get_chain())
-        iteration = len(prev_chain)
-        _push(prev_chain[-tau_window:])
+        iteration = int(backend.iteration)
+        # The persisted history is only needed if a tau estimate actually
+        # fires (it may never: short extensions, tau_check_growth past
+        # max_iterations) — defer the HDF5 read until then, and read only
+        # the trailing window slice instead of the full chain.
+        hist_pending = iteration
     elif method == "emcee":
         if MH.is_primary():
             backend.reset(nwalkers, ndim)
@@ -223,11 +241,22 @@ def run_ensemble(
         bstate, bchain, blps = stretch.stretch_chunk(
             lp_fn, bstate, 100, a, lp_env=lp_env
         )
-        flat = MH.fetch(bchain).reshape(-1, ndim)
-        flat_lp = MH.fetch(blps).reshape(-1)
+        bchain, blps = MH.fetch((bchain, blps))
+        flat = bchain.reshape(-1, ndim)
+        flat_lp = blps.reshape(-1)
         top = flat[np.argsort(flat_lp)[::-1][: int(50 * nwalkers)]]
         pick = jax.random.randint(rkey, (nwalkers,), 0, len(top))
         x0 = top[np.asarray(pick)]
+
+    def _hydrate() -> None:
+        """Prepend the persisted chain tail to the rolling window (lazy)."""
+        nonlocal hist_pending, rolling_len
+        need = min(hist_pending, tau_window - rolling_len)
+        if need > 0:
+            tail = np.asarray(backend.get_chain(discard=hist_pending - need))
+            rolling.insert(0, tail)
+            rolling_len += len(tail)
+        hist_pending = 0
 
     if not resume and method in GRADIENT_METHODS:
         if MH.is_primary():
@@ -311,6 +340,8 @@ def run_ensemble(
         next_tau_iter = float(state_blob["_next_tau_iter"])
         last_tau_iter = int(state_blob["_last_tau_iter"])
 
+    converged_flag = False
+
     def _save_state() -> None:
         # fetch inside _state_to_blob is a collective — all hosts call this;
         # only the primary writes the sampler_state group
@@ -319,20 +350,139 @@ def run_ensemble(
         blob["_n_chunks_done"] = np.asarray(n_chunks_done)
         blob["_next_tau_iter"] = np.asarray(float(next_tau_iter))
         blob["_last_tau_iter"] = np.asarray(int(last_tau_iter))
+        blob["_converged"] = np.asarray(bool(converged_flag))
         if MH.is_primary():
             backend.save_state(blob)
 
+    def _tau_check():
+        """Evaluate the three-part convergence test on the trailing window.
+
+        Returns (converged, nan_stop) and advances the tau bookkeeping
+        (old_tau, cadence markers).  Shared by the in-loop cadence check and
+        the on-resume re-evaluation of an already-converged chain."""
+        nonlocal old_tau, last_tau_iter, next_tau_iter
+        steps_since_tau = iteration - last_tau_iter
+        last_tau_iter = iteration
+        next_tau_iter = iteration * tau_check_growth
+        # The reference's Delta-tau criterion is |tau_new - tau_old| / tau
+        # over ONE check interval (check_every steps, linna/sampler.py:545).
+        # With the geometric cadence consecutive estimates are further
+        # apart, so the raw ratio would measure drift over a longer window
+        # and e.g. a tau ~ 0.08*n burn-in transient would sit at ~5% forever
+        # (> tautol) even where the reference's per-100-step test passes.
+        # Normalizing to a per-check_every rate restores the reference
+        # semantics exactly at cadence=check_every and per-step-equivalent
+        # behavior otherwise.
+        dtau_scale = check_every / max(steps_since_tau, check_every)
+
+        # tau is estimated over at most the trailing ``tau_window`` steps —
+        # that caps both the per-check FFT cost (O(n log n) in window size)
+        # and host memory; the tau*ntimes < iteration test uses the full
+        # persisted step count.
+        _hydrate()
+        recent = np.concatenate(rolling) if len(rolling) > 1 else rolling[0]
+        if method != "zeus":
+            tau = convergence.integrated_time(
+                recent[-tau_window:], max_walkers=tau_walkers
+            )
+            if np.isnan(np.sum(tau)) and iteration > 10:
+                return False, True
+            converged = bool(np.all(tau * ntimes < iteration))
+            converged &= bool(
+                np.all(np.abs(old_tau - tau) / tau * dtau_scale < tautol)
+            )
+            window = max(int(nk * np.mean(tau)), 2)
+            converged &= convergence.check_mean_std(
+                recent[-window:], meanshift, stdshift
+            )
+        else:
+            # zeus path: scalar mean tau over the chain minus 20% burn-in
+            # (linna/sampler.py:682-691, discard=0.2).  The burn-in cut is
+            # applied exactly: steps older than the in-memory window are all
+            # pre-burn-in once 0.8*iteration exceeds the window.
+            burn = int(0.2 * iteration)
+            behind = iteration - len(recent)  # older steps, not in memory
+            drop = max(0, burn - behind)
+            tau_arr = convergence.integrated_time(
+                recent[drop:][-tau_window:], max_walkers=tau_walkers
+            )
+            tau = float(np.mean(tau_arr))
+            converged = tau * ntimes < iteration
+            converged &= bool(np.abs(old_tau - tau) / tau * dtau_scale < tautol)
+            window = max(int(nk * tau), 2)
+            converged &= convergence.check_mean_std(
+                recent[-window:], meanshift, stdshift
+            )
+        if progress:
+            print(
+                f"iter {iteration}: tau={np.mean(tau):.2f} converged={converged}",
+                flush=True,
+            )
+        old_tau = tau
+        return converged, False
+
+    # Idempotent restart on a converged chain: when the persisted state says
+    # the previous run stopped because the convergence test passed, re-run
+    # the test on the existing chain under the CURRENT criteria (they may
+    # have been tightened) before sampling anything — if it still passes,
+    # the chain is returned untouched instead of being extended by another
+    # chunk (reference analogue: the orchestrator's finish.json file gating,
+    # linna/util.py:1506-1516; here the sampler itself is restart-safe).
+    if (
+        convergence_check
+        and state_blob is not None
+        and bool(np.asarray(state_blob.get("_converged", False)))
+        and rolling_len + hist_pending > 0
+    ):
+        already_done, _ = _tau_check()
+        if already_done:
+            converged_flag = True
+            return backend
+
+    def _advance(st):
+        """Dispatch one check_every-step device chunk (async — returns
+        future arrays; nothing blocks until the host touches them)."""
+        if method == "emcee":
+            return stretch.stretch_chunk(lp_fn, st, check_every, a, lp_env=lp_env)
+        if method == "hmc":
+            return hmc.hmc_chunk(lp_fn, st, check_every, n_leapfrog, lp_env=lp_env)
+        if method == "nuts":
+            return hmc.nuts_chunk(lp_fn, st, check_every, max_depth, lp_env=lp_env)
+        return slicemove.slice_chunk(
+            lp_fn, st, check_every, slice_max_steps, lp_env=lp_env
+        )
+
+    # Double-buffered dispatch: chunk k+1 is enqueued on the device BEFORE
+    # the host consumes chunk k's results, so the HDF5 append, the prior
+    # transform, and the tau/stationarity FFTs all overlap device sampling
+    # instead of leaving the device idle (JAX dispatch is asynchronous; the
+    # fetch of chunk k's arrays only synchronizes chunk k — the device keeps
+    # executing chunk k+1).  On an early break (converged / NaN tau) the
+    # pending chunk is discarded: check_every wasted device steps, versus a
+    # host-bound serial loop everywhere else.  The persisted chain, saved
+    # state, and resume behavior are bitwise identical to serial execution
+    # (zeus mu-tuning is applied to the post-chunk state before the next
+    # dispatch, exactly as in the serial order).
+    pending = None
     while iteration < max_iterations:
+        if pending is None:
+            pending = _advance(state)
+        state, chain, lps = pending
+        if method == "zeus" and n_chunks_done < tune_chunks:
+            state = slicemove.tune_mu(state)
+        pending = (
+            _advance(state) if iteration + check_every < max_iterations else None
+        )
         # fetch: replicate device results onto every host (collective when
         # walkers are sharded across processes) before host-side appends and
         # convergence math — all hosts see identical values, only the primary
         # writes the HDF5 file
+        if method == "zeus":
+            chain, lps = MH.fetch((chain, lps))
+        else:  # one batched round trip for chunk + acceptance counters
+            chain, lps, acc = MH.fetch((chain, lps, state.accepted))
+            acc = acc.astype(np.float64)
         if method == "emcee":
-            state, chain, lps = stretch.stretch_chunk(
-                lp_fn, state, check_every, a, lp_env=lp_env
-            )
-            chain, lps = MH.fetch(chain), MH.fetch(lps)
-            acc = MH.fetch(state.accepted).astype(np.float64)
             if MH.is_primary():
                 backend.append(
                     chain.astype(np.float64),
@@ -342,18 +492,8 @@ def run_ensemble(
                 )
             prev_accepted = acc
         elif method in GRADIENT_METHODS:
-            if method == "hmc":
-                state, chain, lps = hmc.hmc_chunk(
-                    lp_fn, state, check_every, n_leapfrog, lp_env=lp_env
-                )
-            else:
-                state, chain, lps = hmc.nuts_chunk(
-                    lp_fn, state, check_every, max_depth, lp_env=lp_env
-                )
-                # expected acceptances: cumulative mean Metropolis alpha per
-                # walker (H&G Alg. 6) — the real statistic, not a constant
-            chain, lps = MH.fetch(chain), MH.fetch(lps)
-            acc = MH.fetch(state.accepted).astype(np.float64)
+            # acc: cumulative mean Metropolis alpha per walker (H&G Alg. 6)
+            # — the real statistic, not a constant
             # store in the original (whitened-prior) space
             chain = chain.astype(np.float64)
             chain = precond.to_original(chain.reshape(-1, ndim)).reshape(chain.shape)
@@ -366,12 +506,6 @@ def run_ensemble(
                 )
             prev_accepted = acc
         else:
-            state, chain, lps = slicemove.slice_chunk(
-                lp_fn, state, check_every, slice_max_steps, lp_env=lp_env
-            )
-            if n_chunks_done < tune_chunks:
-                state = slicemove.tune_mu(state)
-            chain, lps = MH.fetch(chain), MH.fetch(lps)
             if MH.is_primary():
                 backend.append(
                     chain.astype(np.float64), lps.astype(np.float64), transform=tfn
@@ -380,7 +514,93 @@ def run_ensemble(
         iteration += check_every
         n_chunks_done += 1
 
-        if iteration < next_tau_iter:
+        if not convergence_check or iteration < next_tau_iter:
+            _save_state()
+            continue
+        converged, nan_stop = _tau_check()
+        converged_flag = converged
+        _save_state()
+        if converged or nan_stop:
+            break
+
+    return backend
+
+    def _advance(st):
+        """Dispatch one check_every-step device chunk (async — returns
+        future arrays; nothing blocks until the host touches them)."""
+        if method == "emcee":
+            return stretch.stretch_chunk(lp_fn, st, check_every, a, lp_env=lp_env)
+        if method == "hmc":
+            return hmc.hmc_chunk(lp_fn, st, check_every, n_leapfrog, lp_env=lp_env)
+        if method == "nuts":
+            return hmc.nuts_chunk(lp_fn, st, check_every, max_depth, lp_env=lp_env)
+        return slicemove.slice_chunk(
+            lp_fn, st, check_every, slice_max_steps, lp_env=lp_env
+        )
+
+    # Double-buffered dispatch: chunk k+1 is enqueued on the device BEFORE
+    # the host consumes chunk k's results, so the HDF5 append, the prior
+    # transform, and the tau/stationarity FFTs all overlap device sampling
+    # instead of leaving the device idle (JAX dispatch is asynchronous; the
+    # fetch of chunk k's arrays only synchronizes chunk k — the device keeps
+    # executing chunk k+1).  On an early break (converged / NaN tau) the
+    # pending chunk is discarded: check_every wasted device steps, versus a
+    # host-bound serial loop everywhere else.  The persisted chain, saved
+    # state, and resume behavior are bitwise identical to serial execution
+    # (zeus mu-tuning is applied to the post-chunk state before the next
+    # dispatch, exactly as in the serial order).
+    pending = None
+    while iteration < max_iterations:
+        if pending is None:
+            pending = _advance(state)
+        state, chain, lps = pending
+        if method == "zeus" and n_chunks_done < tune_chunks:
+            state = slicemove.tune_mu(state)
+        pending = (
+            _advance(state) if iteration + check_every < max_iterations else None
+        )
+        # fetch: replicate device results onto every host (collective when
+        # walkers are sharded across processes) before host-side appends and
+        # convergence math — all hosts see identical values, only the primary
+        # writes the HDF5 file
+        if method == "zeus":
+            chain, lps = MH.fetch((chain, lps))
+        else:  # one batched round trip for chunk + acceptance counters
+            chain, lps, acc = MH.fetch((chain, lps, state.accepted))
+            acc = acc.astype(np.float64)
+        if method == "emcee":
+            if MH.is_primary():
+                backend.append(
+                    chain.astype(np.float64),
+                    lps.astype(np.float64),
+                    acc - prev_accepted,
+                    transform=tfn,
+                )
+            prev_accepted = acc
+        elif method in GRADIENT_METHODS:
+            # acc: cumulative mean Metropolis alpha per walker (H&G Alg. 6)
+            # — the real statistic, not a constant
+            # store in the original (whitened-prior) space
+            chain = chain.astype(np.float64)
+            chain = precond.to_original(chain.reshape(-1, ndim)).reshape(chain.shape)
+            if MH.is_primary():
+                backend.append(
+                    chain,
+                    lps.astype(np.float64),
+                    acc - prev_accepted,
+                    transform=tfn,
+                )
+            prev_accepted = acc
+        else:
+            if MH.is_primary():
+                backend.append(
+                    chain.astype(np.float64), lps.astype(np.float64), transform=tfn
+                )
+        _push(np.asarray(chain))
+        iteration += check_every
+        n_chunks_done += 1
+
+        if not convergence_check or iteration < next_tau_iter:
             _save_state()
             continue
         steps_since_tau = iteration - last_tau_iter
@@ -401,9 +621,12 @@ def run_ensemble(
         # that caps both the per-check FFT cost (O(n log n) in window size)
         # and host memory; the tau*ntimes < iteration test uses the full
         # persisted step count.
+        _hydrate()
         recent = np.concatenate(rolling) if len(rolling) > 1 else rolling[0]
         if method != "zeus":
-            tau = convergence.integrated_time(recent[-tau_window:])
+            tau = convergence.integrated_time(
+                recent[-tau_window:], max_walkers=tau_walkers
+            )
             if np.isnan(np.sum(tau)) and iteration > 10:
                 _save_state()
                 break
@@ -423,7 +646,9 @@ def run_ensemble(
             burn = int(0.2 * iteration)
             behind = iteration - len(recent)  # older steps, not in memory
             drop = max(0, burn - behind)
-            tau_arr = convergence.integrated_time(recent[drop:][-tau_window:])
+            tau_arr = convergence.integrated_time(
+                recent[drop:][-tau_window:], max_walkers=tau_walkers
+            )
             tau = float(np.mean(tau_arr))
             converged = tau * ntimes < iteration
             converged &= bool(np.abs(old_tau - tau) / tau * dtau_scale < tautol)

@@ -81,6 +81,24 @@ def test_integrated_time_correlated():
     assert 10 < tau[0] < 30
 
 
+def test_integrated_time_max_walkers():
+    """The stride-subset estimate agrees with the all-walker estimate well
+    within its own statistical error (it is the same estimator over fewer
+    iid per-walker ACFs — run.py caps the per-check FFT cost with it)."""
+    rng = np.random.default_rng(3)
+    n, w = 4000, 64
+    x = np.zeros((n, w, 2))
+    for i in range(1, n):
+        x[i] = 0.8 * x[i - 1] + rng.normal(size=(w, 2))
+    tau_full = convergence.integrated_time(x)
+    tau_sub = convergence.integrated_time(x, max_walkers=16)
+    npt.assert_allclose(tau_sub, tau_full, rtol=0.25)
+    # cap >= nwalkers is the identity
+    npt.assert_array_equal(
+        convergence.integrated_time(x, max_walkers=64), tau_full
+    )
+
+
 def test_check_mean_std():
     rng = np.random.default_rng(2)
     stationary = rng.normal(size=(1000, 4, 2))
@@ -159,6 +177,44 @@ def test_run_ensemble_converges_and_resumes(tmp_path, method):
         seed=4,
     )
     assert backend2.iteration >= n1
+
+
+def test_convergence_check_off_runs_exact_steps(tmp_path):
+    """convergence_check=False runs exactly max_iterations steps (no tau or
+    stationarity evaluation), and a second call extends the finished chain
+    by exactly the requested amount — the contract bench_full's R-hat-gated
+    polish loop relies on."""
+    lp = _gauss_logprob(MEAN, STD)
+    x0 = np.random.default_rng(1).normal(size=(16, 2)).astype(np.float32)
+    kw = dict(method="zeus", check_every=25, convergence_check=False,
+              shard_walkers=False)
+    b = run.run_ensemble(lp, x0, str(tmp_path), max_iterations=100, seed=5, **kw)
+    assert b.iteration == 100
+    b2 = run.run_ensemble(lp, x0, str(tmp_path), max_iterations=150, seed=6, **kw)
+    assert b2.iteration == 150
+
+
+@pytest.mark.parametrize("method", ["emcee", "zeus"])
+def test_resume_convergence_decisions_match(tmp_path, method):
+    """A run interrupted mid-chain and resumed stops at the SAME iteration
+    with the SAME chain as the uninterrupted run: the lazily-hydrated tau
+    window (run.py _hydrate) sees identical trailing history, so every
+    convergence decision is reproduced."""
+    lp = _gauss_logprob(MEAN, STD)
+    x0 = (np.random.default_rng(2).normal(size=(16, 2)) * 0.1 + MEAN).astype(
+        np.float32
+    )
+    kw = dict(method=method, ntimes=6, tautol=0.5, meanshift=100, stdshift=100,
+              nk=1, check_every=50, seed=7, shard_walkers=False)
+    full = run.run_ensemble(lp, x0, str(tmp_path / "full"),
+                            max_iterations=800, **kw)
+    part = run.run_ensemble(lp, x0, str(tmp_path / "part"),
+                            max_iterations=100, **kw)
+    assert part.iteration == 100
+    resumed = run.run_ensemble(lp, x0, str(tmp_path / "part"),
+                               max_iterations=800, **kw)
+    assert resumed.iteration == full.iteration
+    np.testing.assert_array_equal(resumed.get_chain(), full.get_chain())
 
 
 @pytest.mark.parametrize("method", ["emcee", "zeus", "hmc", "nuts"])
