@@ -31,14 +31,11 @@ CHUNK = 100  # sampler steps per device program (production check cadence)
 
 def _enable_compile_cache():
     """Persist compiled programs so cold-start runs don't pay the remote
-    compile twice (first compile over a tunneled TPU is minutes)."""
-    try:
-        import jax
+    compile twice (first compile over a tunneled TPU is minutes).  One
+    source of truth: the orchestrator helper (honors LINNA_COMPILE_CACHE)."""
+    from linna_tpu.orchestrator import _enable_compile_cache as enable
 
-        jax.config.update("jax_compilation_cache_dir", "/tmp/linna_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
+    enable()
 
 
 def bench_tpu(reps: int = 5, chunks_per_rep: int = 3) -> tuple:

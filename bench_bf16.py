@@ -47,8 +47,9 @@ def _rate_chunk(log_prob, walkers: int, reps: int = 3) -> float:
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/linna_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from linna_tpu.orchestrator import _enable_compile_cache
+
+    _enable_compile_cache()
 
     from __graft_entry__ import _build_problem
     from linna_tpu import likelihood as LK

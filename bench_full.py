@@ -34,10 +34,9 @@ OUTDIR = "/tmp/linna_des_bench"
 
 
 def _enable_compile_cache():
-    import jax
+    from linna_tpu.orchestrator import _enable_compile_cache as enable
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/linna_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    enable()
 
 
 def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP.json"):
@@ -113,17 +112,15 @@ def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP
 
     # convergence of the final chain (walker-resolved); the backend file
     # follows the final iteration's sampler (methodArr override supported)
-    from linna_tpu.samplers.backends import EmceeBackend, ZeusBackend
-    from linna_tpu.samplers.run import EMCEE_FILENAME, ZEUS_FILENAME
+    from linna_tpu.orchestrator import _chain_filename, _open_backend
 
     last_iter = len(params["ntrainArr"]) - 1
     final_dir = os.path.join(OUTDIR, f"iter_{last_iter}/")
     m_arr = params.get("methodArr")
     final_method = m_arr[last_iter] if m_arr else "zeus"
-    if final_method == "zeus":
-        backend = ZeusBackend(os.path.join(final_dir, ZEUS_FILENAME))
-    else:
-        backend = EmceeBackend(os.path.join(final_dir, EMCEE_FILENAME))
+    backend = _open_backend(
+        os.path.join(final_dir, _chain_filename(final_method)), final_method
+    )
 
     def _rhat():
         raw = backend.get_value("chain_transformed")

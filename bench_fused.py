@@ -32,10 +32,9 @@ WALKER_COUNTS = (128, 512, 1024, 4096, 16384)
 
 
 def _enable_compile_cache():
-    import jax
+    from linna_tpu.orchestrator import _enable_compile_cache as enable
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/linna_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    enable()
 
 
 def _rate_chunk(log_prob, walkers: int, reps: int = 3) -> float:

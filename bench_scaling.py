@@ -177,7 +177,7 @@ def hlo_collectives(jax, k: int = 4) -> dict:
             type(tr)._epochs_members.lower(
                 tr, tr.params, tr.opt_state, ekeys,
                 jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(vx),
-                jnp.asarray(vy), 5,
+                jnp.asarray(vy), 5, tr.transforms, tr.loss_state,
             )
             .compile()
             .as_text()

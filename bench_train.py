@@ -31,8 +31,9 @@ EPOCHS = 30
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/linna_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from linna_tpu.orchestrator import _enable_compile_cache
+
+    _enable_compile_cache()
     import jax.numpy as jnp
 
     from linna_tpu import losses as L

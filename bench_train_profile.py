@@ -36,8 +36,9 @@ K = 2
 def main(compute_dtype="bfloat16"):
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/linna_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from linna_tpu.orchestrator import _enable_compile_cache
+
+    _enable_compile_cache()
     import jax.numpy as jnp
     import optax
 

@@ -253,7 +253,12 @@ def run_ensemble(
         nonlocal hist_pending, rolling_len
         need = min(hist_pending, tau_window - rolling_len)
         if need > 0:
+            # bound the read to the pre-resume rows: by the time a tau check
+            # fires, the backend also holds the post-resume chunks that are
+            # already in ``rolling`` — an unbounded get_chain would duplicate
+            # them (and break time-ordering) in the window
             tail = np.asarray(backend.get_chain(discard=hist_pending - need))
+            tail = tail[:need]
             rolling.insert(0, tail)
             rolling_len += len(tail)
         hist_pending = 0
@@ -521,149 +526,6 @@ def run_ensemble(
         converged_flag = converged
         _save_state()
         if converged or nan_stop:
-            break
-
-    return backend
-
-    def _advance(st):
-        """Dispatch one check_every-step device chunk (async — returns
-        future arrays; nothing blocks until the host touches them)."""
-        if method == "emcee":
-            return stretch.stretch_chunk(lp_fn, st, check_every, a, lp_env=lp_env)
-        if method == "hmc":
-            return hmc.hmc_chunk(lp_fn, st, check_every, n_leapfrog, lp_env=lp_env)
-        if method == "nuts":
-            return hmc.nuts_chunk(lp_fn, st, check_every, max_depth, lp_env=lp_env)
-        return slicemove.slice_chunk(
-            lp_fn, st, check_every, slice_max_steps, lp_env=lp_env
-        )
-
-    # Double-buffered dispatch: chunk k+1 is enqueued on the device BEFORE
-    # the host consumes chunk k's results, so the HDF5 append, the prior
-    # transform, and the tau/stationarity FFTs all overlap device sampling
-    # instead of leaving the device idle (JAX dispatch is asynchronous; the
-    # fetch of chunk k's arrays only synchronizes chunk k — the device keeps
-    # executing chunk k+1).  On an early break (converged / NaN tau) the
-    # pending chunk is discarded: check_every wasted device steps, versus a
-    # host-bound serial loop everywhere else.  The persisted chain, saved
-    # state, and resume behavior are bitwise identical to serial execution
-    # (zeus mu-tuning is applied to the post-chunk state before the next
-    # dispatch, exactly as in the serial order).
-    pending = None
-    while iteration < max_iterations:
-        if pending is None:
-            pending = _advance(state)
-        state, chain, lps = pending
-        if method == "zeus" and n_chunks_done < tune_chunks:
-            state = slicemove.tune_mu(state)
-        pending = (
-            _advance(state) if iteration + check_every < max_iterations else None
-        )
-        # fetch: replicate device results onto every host (collective when
-        # walkers are sharded across processes) before host-side appends and
-        # convergence math — all hosts see identical values, only the primary
-        # writes the HDF5 file
-        if method == "zeus":
-            chain, lps = MH.fetch((chain, lps))
-        else:  # one batched round trip for chunk + acceptance counters
-            chain, lps, acc = MH.fetch((chain, lps, state.accepted))
-            acc = acc.astype(np.float64)
-        if method == "emcee":
-            if MH.is_primary():
-                backend.append(
-                    chain.astype(np.float64),
-                    lps.astype(np.float64),
-                    acc - prev_accepted,
-                    transform=tfn,
-                )
-            prev_accepted = acc
-        elif method in GRADIENT_METHODS:
-            # acc: cumulative mean Metropolis alpha per walker (H&G Alg. 6)
-            # — the real statistic, not a constant
-            # store in the original (whitened-prior) space
-            chain = chain.astype(np.float64)
-            chain = precond.to_original(chain.reshape(-1, ndim)).reshape(chain.shape)
-            if MH.is_primary():
-                backend.append(
-                    chain,
-                    lps.astype(np.float64),
-                    acc - prev_accepted,
-                    transform=tfn,
-                )
-            prev_accepted = acc
-        else:
-            if MH.is_primary():
-                backend.append(
-                    chain.astype(np.float64), lps.astype(np.float64), transform=tfn
-                )
-        _push(np.asarray(chain))
-        iteration += check_every
-        n_chunks_done += 1
-
-        if not convergence_check or iteration < next_tau_iter:
-            _save_state()
-            continue
-        steps_since_tau = iteration - last_tau_iter
-        last_tau_iter = iteration
-        next_tau_iter = iteration * tau_check_growth
-        # The reference's Delta-tau criterion is |tau_new - tau_old| / tau
-        # over ONE check interval (check_every steps, linna/sampler.py:545).
-        # With the geometric cadence consecutive estimates are further
-        # apart, so the raw ratio would measure drift over a longer window
-        # and e.g. a tau ~ 0.08*n burn-in transient would sit at ~5% forever
-        # (> tautol) even where the reference's per-100-step test passes.
-        # Normalizing to a per-check_every rate restores the reference
-        # semantics exactly at cadence=check_every and per-step-equivalent
-        # behavior otherwise.
-        dtau_scale = check_every / max(steps_since_tau, check_every)
-
-        # tau is estimated over at most the trailing ``tau_window`` steps —
-        # that caps both the per-check FFT cost (O(n log n) in window size)
-        # and host memory; the tau*ntimes < iteration test uses the full
-        # persisted step count.
-        _hydrate()
-        recent = np.concatenate(rolling) if len(rolling) > 1 else rolling[0]
-        if method != "zeus":
-            tau = convergence.integrated_time(
-                recent[-tau_window:], max_walkers=tau_walkers
-            )
-            if np.isnan(np.sum(tau)) and iteration > 10:
-                _save_state()
-                break
-            converged = bool(np.all(tau * ntimes < iteration))
-            converged &= bool(
-                np.all(np.abs(old_tau - tau) / tau * dtau_scale < tautol)
-            )
-            window = max(int(nk * np.mean(tau)), 2)
-            converged &= convergence.check_mean_std(
-                recent[-window:], meanshift, stdshift
-            )
-        else:
-            # zeus path: scalar mean tau over the chain minus 20% burn-in
-            # (linna/sampler.py:682-691, discard=0.2).  The burn-in cut is
-            # applied exactly: steps older than the in-memory window are all
-            # pre-burn-in once 0.8*iteration exceeds the window.
-            burn = int(0.2 * iteration)
-            behind = iteration - len(recent)  # older steps, not in memory
-            drop = max(0, burn - behind)
-            tau_arr = convergence.integrated_time(
-                recent[drop:][-tau_window:], max_walkers=tau_walkers
-            )
-            tau = float(np.mean(tau_arr))
-            converged = tau * ntimes < iteration
-            converged &= bool(np.abs(old_tau - tau) / tau * dtau_scale < tautol)
-            window = max(int(nk * tau), 2)
-            converged &= convergence.check_mean_std(
-                recent[-window:], meanshift, stdshift
-            )
-        if progress:
-            print(
-                f"iter {iteration}: tau={np.mean(tau):.2f} converged={converged}",
-                flush=True,
-            )
-        old_tau = tau
-        _save_state()
-        if converged:
             break
 
     return backend

@@ -258,3 +258,38 @@ def test_exact_resume_matches_uninterrupted(tmp_path, method, monkeypatch):
     )
     np.testing.assert_array_equal(resumed.get_chain(), full.get_chain())
     np.testing.assert_array_equal(resumed.get_log_prob(), full.get_log_prob())
+
+
+@pytest.mark.parametrize("method", ["emcee", "zeus"])
+def test_resume_tau_window_not_duplicated(tmp_path, method, monkeypatch):
+    """Regression: on a resumed run, the lazy hydration of the persisted
+    chain into the rolling tau window must read only the PRE-resume rows.
+    The backend also holds the post-resume chunks (already pushed into the
+    window), so an unbounded ``get_chain`` would duplicate them — the tau /
+    stationarity tests would then run on a corrupted, non-monotone series
+    on every resumed production run."""
+    lp = _gauss_logprob(MEAN, STD)
+    x0 = np.random.default_rng(3).normal(size=(8, 2)).astype(np.float32)
+    kw = dict(method=method, check_every=50, shard_walkers=False, seed=7)
+    # 100 persisted steps, no convergence checks (window never hydrated)
+    run.run_ensemble(lp, x0, str(tmp_path), max_iterations=100,
+                     convergence_check=False, **kw)
+
+    seen = []
+    real = convergence.integrated_time
+
+    def spy(x, **k):
+        seen.append(np.asarray(x).shape[0])
+        return real(x, **k)
+
+    monkeypatch.setattr(convergence, "integrated_time", spy)
+    # resume for one more 50-step chunk; the first tau check hydrates the
+    # persisted tail and must see exactly 150 contiguous steps
+    run.run_ensemble(lp, x0, str(tmp_path), max_iterations=150,
+                     tau_check_growth=1.0, **kw)
+    assert seen, "no tau check fired on the resumed run"
+    expect = 150 if method != "zeus" else 150 - int(0.2 * 150)
+    assert seen[0] == expect, (
+        f"tau window has {seen[0]} rows, expected {expect} — persisted tail "
+        "duplicated post-resume chunks"
+    )
