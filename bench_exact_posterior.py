@@ -60,14 +60,9 @@ def main(n_steps: int = N_STEPS, seed: int = 7) -> dict:
     truth = T.fiducial() + 0.05
     truth_vec = T.data_vector(truth)
 
-    # identical covariance construction to examples/make_des_inputs.py
-    sigma = 1.0 * (np.abs(truth_vec) + 0.1)
-    rows = []
-    for i in range(T.NDATA):
-        rows.append([i, i, 0.0, sigma[i] ** 2])
-        if i + 1 < T.NDATA:
-            rows.append([i, i + 1, 0.0, 0.25 * sigma[i] * sigma[i + 1]])
-    cov = read_triplet_cov(np.asarray(rows))
+    # the SAME covariance recipe as the pipeline inputs — shared source in
+    # des_theory so the decomposition can't drift from the flagship posterior
+    cov = read_triplet_cov(T.cov_triplet_rows(T.noise_sigma(truth_vec)))
     inv_cov = np.linalg.inv(cov)
 
     pack = PR.priors_from_list(
@@ -77,19 +72,14 @@ def main(n_steps: int = N_STEPS, seed: int = 7) -> dict:
         ]
     )
 
-    lin = jnp.asarray(T._LIN, jnp.float32)
-    quad = jnp.asarray(T._QUAD, jnp.float32)
-    templates = jnp.asarray(T._TEMPLATES, jnp.float32)
-    scale = 1.0 / np.sqrt(T.N_TEMPLATES)
     data_j = jnp.asarray(truth_vec, jnp.float32)
     inv_j = jnp.asarray(inv_cov, jnp.float32)
 
     def log_prob(x):
         x = jnp.asarray(x, jnp.float32)
         xp = PR.transform(pack, x)
-        u = xp @ lin.T
-        amps = u + (xp * xp) @ quad.T + 0.2 * jnp.tanh(3.0 * u)
-        m = (amps @ templates) * scale
+        # the canonical jax mirror of des_theory.data_vector (parity-tested)
+        m = T.data_vector_jax(xp)
         lp = gaussian_loglike(m, data_j, inv_j) + PR.lnprior(x)
         return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
 

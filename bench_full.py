@@ -68,21 +68,16 @@ def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP
     os.makedirs(indir, exist_ok=True)
     truth_params = T.fiducial() + 0.05
     truth_vec = T.data_vector(truth_params)
-    # noiseless data + ~1-4%-of-box posterior widths: see
-    # examples/make_des_inputs.py for the rationale
-    sigma = 1.0 * (np.abs(truth_vec) + 0.1)
+    # noiseless data + ~1-4%-of-box posterior widths; the shared recipe in
+    # des_theory keeps this posterior identical to bench_exact_posterior's
     data = truth_vec
     np.savetxt(os.path.join(indir, "data.txt"),
                np.stack([np.arange(T.NDATA), data], 1))
-    rows = []
-    cov_dense = np.diag(sigma**2)
-    for i in range(T.NDATA):
-        rows.append([i, i, 0.0, sigma[i] ** 2])
-        if i + 1 < T.NDATA:
-            c = 0.25 * sigma[i] * sigma[i + 1]
-            rows.append([i, i + 1, 0.0, c])
-            cov_dense[i, i + 1] = cov_dense[i + 1, i] = c
-    np.savetxt(os.path.join(indir, "cov_triplet.txt"), np.asarray(rows))
+    from linna_tpu.driver import read_triplet_cov
+
+    rows = T.cov_triplet_rows(T.noise_sigma(truth_vec))
+    np.savetxt(os.path.join(indir, "cov_triplet.txt"), rows)
+    cov_dense = read_triplet_cov(rows)
 
     if fresh and os.path.isdir(OUTDIR):
         shutil.rmtree(OUTDIR)

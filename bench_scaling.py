@@ -1,9 +1,9 @@
 """Multi-chip scaling measurements (VERDICT r2 item 3).
 
 Measures — rather than asserts — the two parallel paths on whatever device
-mesh is available (run under ``JAX_PLATFORMS=cpu
-XLA_FLAGS=--xla_force_host_platform_device_count=8`` for the virtual-mesh
-numbers; on a real pod the same script reports ICI-backed timings):
+mesh is available (run under ``XLA_FLAGS=--xla_force_host_platform_device_count=8``
+for the virtual-mesh numbers — the script defaults the platform to cpu; set
+``LINNA_SCALING_PLATFORM=tpu`` on a real pod for ICI-backed timings):
 
 1. **Ensemble training**: wall-clock of ``EnsembleTrainer`` (all K members
    as one sharded program over the ('ens','data') mesh) vs the serial
@@ -27,9 +27,16 @@ import numpy as np
 
 
 def _setup():
+    import os
+
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    # default to the virtual CPU mesh (the sitecustomize force-sets a
+    # 1-device tunneled platform, useless for scaling); an explicit
+    # LINNA_SCALING_PLATFORM=tpu runs on the real device mesh so a pod
+    # reports ICI-backed timings as the docstring promises
+    platform = os.environ.get("LINNA_SCALING_PLATFORM", "cpu")
+    jax.config.update("jax_platforms", platform)
     return jax
 
 

@@ -61,6 +61,45 @@ def data_vector(x: np.ndarray) -> np.ndarray:
     return amps @ _TEMPLATES / np.sqrt(N_TEMPLATES)
 
 
+def data_vector_jax(x):
+    """``data_vector`` as a differentiable jax computation (batched rows OK).
+
+    The single source of truth for the flagship theory math in jax-land
+    (exact-posterior sampling needs gradients): any change to
+    :func:`data_vector` must be mirrored here — pinned by the parity test in
+    tests/test_driver.py.  Computes in ``x``'s dtype (f32 on default jax)."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    lin = jnp.asarray(_LIN, x.dtype)
+    quad = jnp.asarray(_QUAD, x.dtype)
+    templates = jnp.asarray(_TEMPLATES, x.dtype)
+    u = x @ lin.T
+    amps = u + (x * x) @ quad.T + 0.2 * jnp.tanh(3.0 * u)
+    return (amps @ templates) / np.sqrt(N_TEMPLATES).astype(x.dtype)
+
+
+def noise_sigma(truth_vec: np.ndarray) -> np.ndarray:
+    """The flagship noise level: ~1-4% posterior width per parameter
+    (examples/make_des_inputs.py rationale)."""
+    return 1.0 * (np.abs(np.asarray(truth_vec)) + 0.1)
+
+
+def cov_triplet_rows(sigma: np.ndarray) -> np.ndarray:
+    """The flagship covariance: banded (diagonal + 0.25 nearest-neighbor
+    correlation) in the driver's triplet format.  Shared by
+    make_des_inputs.py, bench_full.py and bench_exact_posterior.py — the
+    emulator-bias decomposition is only valid while all three use the SAME
+    posterior, so the recipe lives here once."""
+    sigma = np.asarray(sigma, dtype=np.float64)
+    rows = []
+    for i in range(len(sigma)):
+        rows.append([i, i, 0.0, sigma[i] ** 2])
+        if i + 1 < len(sigma):
+            rows.append([i, i + 1, 0.0, 0.25 * sigma[i] * sigma[i + 1]])
+    return np.asarray(rows)
+
+
 def make_theory(params: dict):
     def theory(x, outdirs):
         return data_vector(x[1])

@@ -96,6 +96,25 @@ class ModelFunc:
         return data
 
 
+class CompressedModel:
+    """Apply the driver's linear data compression to theory outputs.
+
+    When ``transform_matrix_file`` compresses the data vector and covariance
+    (data <- T data, cov <- T cov T^T), every model evaluation must be
+    compressed identically — the emulator trains on, and the likelihood
+    compares, vectors in the compressed space (the reference's Y-statistics
+    analyses emit already-compressed model vectors while cosmolike_run.py:
+    268-282 compresses data/cov).  A class, not a closure: theory callables
+    must pickle for the multiprocess/MPI pools."""
+
+    def __init__(self, fn: Callable, t: np.ndarray):
+        self.fn = fn
+        self.t = np.asarray(t, dtype=np.float64)
+
+    def __call__(self, x, outdirs):
+        return self.t @ np.asarray(self.fn(x, outdirs), dtype=np.float64)
+
+
 def read_triplet_cov(covin: np.ndarray) -> np.ndarray:
     """(i, j, ..., gauss, non-gauss) triplet rows -> dense symmetric
     covariance; |C| > 1e10 entries zeroed (reference
@@ -216,7 +235,8 @@ def _load_data_cov(params: dict):
             )
         data = t @ data
         cov = t @ cov @ t.T
-    return data, cov, mask
+        return data, cov, mask, t
+    return data, cov, mask, None
 
 
 def run_from_config(
@@ -232,11 +252,18 @@ def run_from_config(
     os.makedirs(outdir, exist_ok=True)
 
     start = time.time()
-    data, cov, mask = _load_data_cov(params)
+    data, cov, mask, tmat = _load_data_cov(params)
     priors, init = priors_and_init_from_config(params)
     theory = resolve_theory(params)
     if params.get("mask_theory", False):
         theory = ModelFunc(theory, mask)
+    if tmat is not None:
+        # the compression must apply to the MODEL side too, or the emulator
+        # would be trained on uncompressed vectors against a compressed
+        # data/cov (the reference transformed both: cosmolike_run.py:268-282
+        # compresses the data/cov while the Y-statistics theory emits
+        # already-compressed model vectors)
+        theory = CompressedModel(theory, tmat)
 
     external = None
     ext_spec = params.get("external_likelihoods")

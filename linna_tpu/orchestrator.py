@@ -165,15 +165,20 @@ def train_emulator(
     """In-process equivalent of the reference's pickled ``train_NN``
     subprocess (linna/util.py:1315-1472 + linna/train_gpu.py): stack all
     iterations' data, curate, fit transforms, train, drop a finish marker."""
+    # file gates broadcast from the primary: per-host filesystem views can
+    # lag on a shared filesystem, and a host that disagrees here would skip
+    # (or join late) the global-mesh training collectives below — deadlock
     finish_path = os.path.join(outdir_in, FINISH_MARKER)
-    if os.path.isfile(finish_path) and not retrain:
+    if MH.primary_flag(os.path.isfile(finish_path)) and not retrain:
         return
     n_ensemble_gate = int(params.get("nensemble", 1))
     member_bests = [os.path.join(outdir_in, BEST_CKPT)] + [
         os.path.join(outdir_in, f"ens_{k}/", BEST_CKPT)
         for k in range(1, n_ensemble_gate)
     ]
-    if all(os.path.isfile(p) for p in member_bests) and not retrain:
+    if MH.primary_flag(
+        all(os.path.isfile(p) for p in member_bests)
+    ) and not retrain:
         if MH.is_primary():
             _write_finish(finish_path)
         return
@@ -228,7 +233,11 @@ def train_emulator(
         trainer.train(
             stack.train_x, stack.train_y, stack.val_x, stack.val_y, **train_kwargs
         )
-    else:
+    elif MH.is_primary():
+        # the serial Trainer is a single-host program with no global-mesh
+        # collectives — on a pod only the primary runs it (every host
+        # training would race the same shared checkpoint files); the others
+        # wait at the barrier below and read the primary's artifacts
         for member_dir, member_seed in zip(member_dirs, seeds):
             os.makedirs(member_dir, exist_ok=True)
             trainer = Trainer(
@@ -558,7 +567,10 @@ def ml_sampler_core(
         outdir_in = os.path.join(outdir, f"iter_{i}/")
         if i == 0:
             chain = None
-        else:
+        elif MH.is_primary():
+            # the cut chain only feeds the primary-gated training-point
+            # generation below; the other pod hosts skip the full-chain
+            # HDF5 read + tau estimate it costs
             prev = os.path.join(
                 outdir, f"iter_{i-1}/", _chain_filename(methods[i - 1])
             )
@@ -599,12 +611,17 @@ def ml_sampler_core(
             ):
                 if params.get("train_subprocess"):
                     # process-separated mode (reference train_gpu.py handoff,
-                    # linna/main.py:186-252) — crash isolation / CLI parity
-                    _train_in_subprocess(
-                        outdir_in, outdir_list, data, cov, sigma,
-                        dolog10index, ypositive, nnmodel_in, params,
-                        usebest=nbest_in is not None, verbose=verbose,
-                    )
+                    # linna/main.py:186-252) — crash isolation / CLI parity.
+                    # Pod: only the primary spawns the trainer (the child is
+                    # single-process and writes the shared checkpoints); the
+                    # other hosts rendezvous and read its artifacts.
+                    if MH.is_primary():
+                        _train_in_subprocess(
+                            outdir_in, outdir_list, data, cov, sigma,
+                            dolog10index, ypositive, nnmodel_in, params,
+                            usebest=nbest_in is not None, verbose=verbose,
+                        )
+                    MH.barrier(f"train-subprocess-{i}")
                 else:
                     train_emulator(
                         outdir_in,
@@ -621,9 +638,11 @@ def ml_sampler_core(
                     )
 
             # skip MCMC when this iteration's chain already exists
-            # (linna/main.py:273-274 file gating)
+            # (linna/main.py:273-274 file gating); the primary's view is
+            # broadcast — a host that disagreed would skip the sharded
+            # sampler collectives the others dispatch
             chain_path = os.path.join(outdir_in, _chain_filename(methods[i]))
-            if not os.path.isfile(chain_path):
+            if not MH.primary_flag(os.path.isfile(chain_path)):
                 # reference main.py:255-263: fall back to shape-inferred
                 # retrieval with flat[-1,1]-padded priors when the saved
                 # checkpoint was trained with more parameters than ``init``.

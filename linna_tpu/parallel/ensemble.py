@@ -280,13 +280,19 @@ class EnsembleTrainer:
         """Per-member LR range test with per-member ``lr.npy`` persistence
         (reference linna/predictor_gpu.py:222-246)."""
         lr_out = np.empty(self.n_members)
-        missing = []
-        for m, d in enumerate(self.outdirs):
-            path = os.path.join(d, "lr.npy")
-            if os.path.isfile(path):
-                lr_out[m] = float(np.load(path))
-            else:
-                missing.append(m)
+        # the have/missing split decides whether the collective LR sweep is
+        # dispatched — broadcast the primary's per-member view so every pod
+        # host takes the same branch (a lagging shared-filesystem view on
+        # one host would otherwise skip a sweep the others join)
+        have_local = np.array(
+            [os.path.isfile(os.path.join(d, "lr.npy")) for d in self.outdirs],
+            np.int32,
+        )
+        have = np.asarray(MH.broadcast(have_local)).astype(bool)
+        missing = [m for m in range(self.n_members) if not have[m]]
+        for m in range(self.n_members):
+            if have[m]:
+                lr_out[m] = float(np.load(os.path.join(self.outdirs[m], "lr.npy")))
         if not missing:
             return lr_out
         lrs = np.geomspace(1e-4, 5e-3, num_iter)

@@ -47,6 +47,7 @@ __all__ = [
     "barrier",
     "fetch",
     "broadcast",
+    "primary_flag",
     "process_count",
 ]
 
@@ -107,6 +108,15 @@ def initialize(
     hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     on_pod = ("," in hostnames) or ("MEGASCALE_COORDINATOR_ADDRESS" in os.environ)
     if coordinator_address is None and not on_pod:
+        if num_processes is not None or process_id is not None:
+            # half-configured manual cluster: running single-process here
+            # would silently degrade (this host writes artifacts as its own
+            # "primary" while the others wait for it at the coordinator) —
+            # fail loudly instead
+            raise ValueError(
+                f"{ENV_NUM_PROCESSES}/{ENV_PROCESS_ID} are set but "
+                f"{ENV_COORDINATOR} is not; a manual cluster needs all three"
+            )
         return False  # single-process run; nothing to do
 
     import jax
@@ -177,6 +187,18 @@ def broadcast(x: Any) -> Any:
     from jax.experimental import multihost_utils
 
     return multihost_utils.broadcast_one_to_all(x)
+
+
+def primary_flag(value: bool) -> bool:
+    """Primary's boolean (typically a filesystem gate) -> every process.
+
+    Per-host ``os.path.isfile`` decisions ahead of collective work must
+    agree across hosts or the SPMD programs diverge — one host dispatches a
+    global-mesh computation the others never join (NFS attribute caches can
+    lag the primary's writes).  Evaluate the condition locally, pass it
+    through here, and branch on the returned primary view.
+    Single-process: identity."""
+    return bool(np.asarray(broadcast(np.int32(bool(value)))))
 
 
 def fetch(x: Any) -> Any:

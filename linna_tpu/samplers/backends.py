@@ -41,11 +41,26 @@ class _SamplerStateMixin:
 
     def save_state(self, blob: dict) -> None:
         with h5py.File(self.filename, "a") as f:
-            if STATE_GROUP in f:
-                del f[STATE_GROUP]
-            g = f.create_group(STATE_GROUP)
+            g = f.require_group(STATE_GROUP)
             for k, v in blob.items():
-                g.create_dataset(k, data=np.asarray(v))
+                v = np.asarray(v)
+                ds = g.get(k)
+                if (
+                    isinstance(ds, h5py.Dataset)
+                    and ds.shape == v.shape
+                    and ds.dtype == v.dtype
+                ):
+                    # overwrite in place: HDF5 never reclaims freed space,
+                    # so del-group/recreate per chunk would grow the chain
+                    # file by one dead state blob per chunk
+                    ds[...] = v
+                else:
+                    if ds is not None:
+                        del g[k]
+                    g.create_dataset(k, data=v)
+            for k in list(g.keys()):  # drop keys the new blob no longer has
+                if k not in blob:
+                    del g[k]
 
     def load_state(self) -> Optional[dict]:
         if not os.path.isfile(self.filename):

@@ -177,6 +177,16 @@ def run_ensemble(
     # save_step, linna/sampler.py:346-368); absent on pre-upgrade chains,
     # which fall back to the statistical re-init path
     state_blob = backend.load_state() if resume else None
+    if resume and MH.primary_flag(state_blob is not None) != (
+        state_blob is not None
+    ):
+        # a host whose shared-filesystem view disagrees with the primary's
+        # would take a different init branch (exact vs statistical) and
+        # dispatch different sharded programs — fail loudly instead
+        raise RuntimeError(
+            "inconsistent sampler_state view across pod hosts; "
+            "check the shared filesystem"
+        )
 
     precond = None
     if method in GRADIENT_METHODS:
@@ -185,7 +195,7 @@ def run_ensemble(
         # The preconditioner persists to precond.npz so resume continues in
         # the SAME space without re-paying the MAP search.
         pfile = os.path.join(outdir, PRECOND_FILENAME)
-        if resume and os.path.isfile(pfile):
+        if resume and MH.primary_flag(os.path.isfile(pfile)):
             z = np.load(pfile)
             precond = precondition.Preconditioner(
                 z["center"], z["basis"], z["scales"]
@@ -227,6 +237,15 @@ def run_ensemble(
     if resume:
         x0 = np.asarray(backend.get_last_sample(), dtype=np.float32)
         iteration = int(backend.iteration)
+        if state_blob is not None and (
+            int(np.asarray(state_blob.get("_iteration", -1))) != iteration
+        ):
+            # chain append and state save are two HDF5 transactions; a crash
+            # between them leaves a blob one chunk behind the file.  Resuming
+            # from it would regenerate and re-append that exact chunk (a
+            # duplicated block that biases tau and the posterior) — fall back
+            # to the statistical re-init path instead.
+            state_blob = None
         # The persisted history is only needed if a tau estimate actually
         # fires (it may never: short extensions, tau_check_growth past
         # max_iterations) — defer the HDF5 read until then, and read only
@@ -351,6 +370,7 @@ def run_ensemble(
         # fetch inside _state_to_blob is a collective — all hosts call this;
         # only the primary writes the sampler_state group
         blob = _state_to_blob(state)
+        blob["_iteration"] = np.asarray(int(iteration))
         blob["_old_tau"] = np.atleast_1d(np.asarray(old_tau, np.float64))
         blob["_n_chunks_done"] = np.asarray(n_chunks_done)
         blob["_next_tau_iter"] = np.asarray(float(next_tau_iter))

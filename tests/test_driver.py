@@ -236,9 +236,10 @@ def test_load_data_cov_transform_matrix(tmp_path):
         "data_file": "data.txt",
         "transform_matrix_file": "t.txt",
     }
-    d, c, mask = _load_data_cov(params)
+    d, c, mask, tmat = _load_data_cov(params)
     np.testing.assert_allclose(d, t @ data, rtol=1e-12)
     np.testing.assert_allclose(c, t @ cov @ t.T, rtol=1e-12)
+    np.testing.assert_allclose(tmat, t, rtol=1e-12)
 
     params["transform_matrix_file"] = "bad.txt"
     np.savetxt(tmp_path / "bad.txt", np.ones((2, n + 1)))
@@ -248,3 +249,83 @@ def test_load_data_cov_transform_matrix(tmp_path):
         assert "columns" in str(e)
     else:
         raise AssertionError("shape mismatch must raise")
+
+
+def test_transform_matrix_end_to_end(tmp_path):
+    """The compression hook must run through the FULL pipeline: theory
+    outputs are compressed with the same T as data/cov (the emulator trains
+    in the compressed space), not just the data loading.  4 raw points
+    compressed to 2 by pair-averaging an identity theory on 2 parameters."""
+    inputs = tmp_path / "inputs"
+    inputs.mkdir()
+    means4 = np.array([0.3, 0.3, -0.2, -0.2])  # raw 4-point data vector
+    np.savetxt(inputs / "data.txt", np.stack([np.arange(4), means4], 1))
+    np.savetxt(inputs / "cov.txt", 0.25 * np.eye(4))
+    t = np.array([[0.5, 0.5, 0.0, 0.0], [0.0, 0.0, 0.5, 0.5]])
+    np.savetxt(inputs / "t.txt", t)
+
+    def theory4(params):
+        def fn(x, outdirs):
+            p = np.asarray(x[1], dtype=np.float64)
+            return np.repeat(p, 2)  # 2 params -> 4 raw points
+
+        return fn
+
+    import sys
+
+    sys.modules["_t4"] = type(sys)("_t4")
+    sys.modules["_t4"].factory = theory4
+    params = {
+        "outdir": str(tmp_path / "out"),
+        "base_dir": str(inputs),
+        "data_file": "data.txt",
+        "cov_file": "cov.txt",
+        "cov_format": "dense",
+        "transform_matrix_file": "t.txt",
+        "theory": "_t4:factory",
+        "nwalkers": 8,
+        "trainingoption": 1,
+        "num_epochs": 200,
+        "batch_size": 25,
+        "ntrainArr": [80, 80],
+        "nvalArr": [16, 16],
+        "nkeepArr": [1, 2],
+        "ntimesArr": [2, 3],
+        "ntautolArr": [0.5, 0.5],
+        "meanshiftArr": [100, 100],
+        "stdshiftArr": [100, 100],
+        "temperatureArr": [2.0, 1.0],
+        "seed": 3,
+        "sampled_params": [
+            {"param": "x0", "dist": "flat", "arg1": -2.0, "arg2": 2.0},
+            {"param": "x1", "dist": "flat", "arg1": -2.0, "arg2": 2.0},
+        ],
+    }
+    chain, _ = D.run_from_config(params, method="zeus")
+    assert np.all(np.isfinite(chain))
+    # training y files live in the COMPRESSED space (width 2, not 4)
+    ty = np.load(tmp_path / "out" / "iter_0" / "train_samples_y.npy")
+    assert ty.shape[1] == 2, ty.shape
+    # posterior recovers the compressed data vector (identity-like problem;
+    # compressed noise std ~0.35 per point, so 1.0 is a ~3-sigma guard at
+    # this small budget)
+    err = np.abs(chain.mean(axis=0) - np.array([0.3, -0.2]))
+    assert np.all(err < 1.0), err
+
+
+def test_des_theory_jax_parity():
+    """data_vector_jax is the canonical jax mirror of data_vector (used by
+    the exact-posterior reference); the two must agree to f32 precision,
+    including batched evaluation."""
+    import jax.numpy as jnp
+
+    from examples import des_theory as T
+
+    rng = np.random.default_rng(8)
+    xs = rng.uniform(-0.5, 0.5, size=(5, T.NDIM))
+    ref = np.stack([T.data_vector(x) for x in xs])
+    got = np.asarray(T.data_vector_jax(jnp.asarray(xs, jnp.float32)))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    # single-row call matches too
+    got1 = np.asarray(T.data_vector_jax(jnp.asarray(xs[0], jnp.float32)))
+    np.testing.assert_allclose(got1, ref[0], rtol=2e-4, atol=2e-4)

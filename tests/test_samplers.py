@@ -293,3 +293,40 @@ def test_resume_tau_window_not_duplicated(tmp_path, method, monkeypatch):
         f"tau window has {seen[0]} rows, expected {expect} — persisted tail "
         "duplicated post-resume chunks"
     )
+
+
+def test_stale_state_blob_falls_back_to_statistical_resume(tmp_path):
+    """Chain append and sampler-state save are two HDF5 transactions.  A
+    crash between them leaves the saved state one chunk behind the file;
+    resuming from that stale state would regenerate and re-append the
+    identical chunk (a duplicated 100-step block).  The resume path must
+    detect the mismatch and ignore the blob (statistical re-init), exactly
+    as if no state had been saved."""
+    import shutil
+
+    import h5py
+
+    lp = _gauss_logprob(MEAN, STD)
+    x0 = np.random.default_rng(5).normal(size=(8, 2)).astype(np.float32)
+    kw = dict(method="emcee", check_every=50, shard_walkers=False, seed=11,
+              convergence_check=False)
+    dir_a, dir_b = tmp_path / "a", tmp_path / "b"
+    run.run_ensemble(lp, x0, str(dir_a), max_iterations=100, **kw)
+    (dir_b).mkdir()
+    shutil.copy(dir_a / run.EMCEE_FILENAME, dir_b / run.EMCEE_FILENAME)
+
+    # a: stale blob (one chunk behind the chain, as after the crash)
+    with h5py.File(dir_a / run.EMCEE_FILENAME, "r+") as f:
+        f["sampler_state/_iteration"][...] = 50
+    # b: no blob at all (the pre-upgrade fallback path)
+    with h5py.File(dir_b / run.EMCEE_FILENAME, "r+") as f:
+        del f["sampler_state"]
+
+    ba = run.run_ensemble(lp, x0, str(dir_a), max_iterations=150, **kw)
+    bb = run.run_ensemble(lp, x0, str(dir_b), max_iterations=150, **kw)
+    ca, cb = np.asarray(ba.get_chain()), np.asarray(bb.get_chain())
+    assert len(ca) == len(cb) == 150
+    # stale-blob resume == no-blob resume: the blob was ignored, not replayed
+    npt.assert_array_equal(ca[100:], cb[100:])
+    # and the pre-resume prefix is untouched
+    npt.assert_array_equal(ca[:100], cb[:100])
