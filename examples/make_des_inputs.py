@@ -18,15 +18,11 @@ truth = T.data_vector(fid + 0.05)  # "observed" universe slightly off-fiducial
 # genuine inference test).  The data vector is NOISELESS so the true
 # posterior centers exactly on the truth: any |mean-truth| in the recovered
 # chain measures emulator-induced bias, not the noise realization's pull.
-sigma = 1.0 * (np.abs(truth) + 0.1)
 data = truth
 np.savetxt(os.path.join(outdir, "data.txt"),
            np.stack([np.arange(T.NDATA), data], 1))
-# banded covariance with short-range correlations (triplet format)
-rows = []
-for i in range(T.NDATA):
-    rows.append([i, i, 0.0, sigma[i] ** 2])
-    if i + 1 < T.NDATA:
-        rows.append([i, i + 1, 0.0, 0.25 * sigma[i] * sigma[i + 1]])
-np.savetxt(os.path.join(outdir, "cov_triplet.txt"), np.asarray(rows))
+# banded covariance with short-range correlations (triplet format) — the
+# shared flagship recipe (des_theory.noise_sigma/cov_triplet_rows)
+np.savetxt(os.path.join(outdir, "cov_triplet.txt"),
+           T.cov_triplet_rows(T.noise_sigma(truth)))
 print("wrote", outdir)

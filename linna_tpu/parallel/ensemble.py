@@ -279,20 +279,19 @@ class EnsembleTrainer:
     def _auto_lr(self, train_x, train_y, num_iter: int = 100) -> np.ndarray:
         """Per-member LR range test with per-member ``lr.npy`` persistence
         (reference linna/predictor_gpu.py:222-246)."""
-        lr_out = np.empty(self.n_members)
         # the have/missing split decides whether the collective LR sweep is
-        # dispatched — broadcast the primary's per-member view so every pod
-        # host takes the same branch (a lagging shared-filesystem view on
-        # one host would otherwise skip a sweep the others join)
-        have_local = np.array(
-            [os.path.isfile(os.path.join(d, "lr.npy")) for d in self.outdirs],
-            np.int32,
-        )
-        have = np.asarray(MH.broadcast(have_local)).astype(bool)
-        missing = [m for m in range(self.n_members) if not have[m]]
-        for m in range(self.n_members):
-            if have[m]:
-                lr_out[m] = float(np.load(os.path.join(self.outdirs[m], "lr.npy")))
+        # dispatched — broadcast the primary's loaded VALUES (NaN = missing)
+        # so every pod host takes the same branch AND uses the same numbers
+        # (a lagging shared-filesystem view on a non-primary host would
+        # otherwise skip a sweep the others join, or fail loading a file the
+        # primary just wrote)
+        vals_local = np.full(self.n_members, np.nan)
+        for m, d in enumerate(self.outdirs):
+            path = os.path.join(d, "lr.npy")
+            if os.path.isfile(path):
+                vals_local[m] = float(np.load(path))
+        lr_out = np.asarray(MH.broadcast(vals_local)).copy()
+        missing = [m for m in range(self.n_members) if not np.isfinite(lr_out[m])]
         if not missing:
             return lr_out
         lrs = np.geomspace(1e-4, 5e-3, num_iter)

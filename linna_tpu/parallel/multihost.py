@@ -48,6 +48,7 @@ __all__ = [
     "fetch",
     "broadcast",
     "primary_flag",
+    "all_agree",
     "process_count",
 ]
 
@@ -187,6 +188,25 @@ def broadcast(x: Any) -> Any:
     from jax.experimental import multihost_utils
 
     return multihost_utils.broadcast_one_to_all(x)
+
+
+def all_agree(value: bool) -> bool:
+    """True iff every process passes the same boolean.
+
+    For consistency checks that must fail on EVERY host together: a raise on
+    just the disagreeing host leaves the others blocked in their next
+    collective until the runtime heartbeat times out.  Single-process:
+    always True."""
+    import jax
+
+    if jax.process_count() == 1:
+        return True
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(
+        np.asarray([np.int32(bool(value))])
+    )
+    return bool(np.min(flags) == np.max(flags))
 
 
 def primary_flag(value: bool) -> bool:

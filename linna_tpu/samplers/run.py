@@ -177,12 +177,12 @@ def run_ensemble(
     # save_step, linna/sampler.py:346-368); absent on pre-upgrade chains,
     # which fall back to the statistical re-init path
     state_blob = backend.load_state() if resume else None
-    if resume and MH.primary_flag(state_blob is not None) != (
-        state_blob is not None
-    ):
-        # a host whose shared-filesystem view disagrees with the primary's
-        # would take a different init branch (exact vs statistical) and
-        # dispatch different sharded programs — fail loudly instead
+    if resume and not MH.all_agree(state_blob is not None):
+        # a host whose shared-filesystem view disagrees would take a
+        # different init branch (exact vs statistical) and dispatch
+        # different sharded programs — fail loudly on EVERY host together
+        # (a single-host raise would leave the rest blocked in their next
+        # collective)
         raise RuntimeError(
             "inconsistent sampler_state view across pod hosts; "
             "check the shared filesystem"
@@ -196,10 +196,24 @@ def run_ensemble(
         # the SAME space without re-paying the MAP search.
         pfile = os.path.join(outdir, PRECOND_FILENAME)
         if resume and MH.primary_flag(os.path.isfile(pfile)):
-            z = np.load(pfile)
-            precond = precondition.Preconditioner(
-                z["center"], z["basis"], z["scales"]
-            )
+            # the primary loads; the arrays are broadcast so a pod host with
+            # a lagging filesystem view neither crashes on the read nor
+            # samples in a numerically different whitened space
+            if MH.is_primary():
+                z = np.load(pfile)
+                payload = (
+                    np.asarray(z["center"], np.float64),
+                    np.asarray(z["basis"], np.float64),
+                    np.asarray(z["scales"], np.float64),
+                )
+            else:
+                payload = (
+                    np.zeros(ndim),
+                    np.zeros((ndim, ndim)),
+                    np.zeros(ndim),
+                )
+            center, basis, scales = MH.broadcast(payload)
+            precond = precondition.Preconditioner(center, basis, scales)
         else:
             precond = precondition.calc_hess_mass_mat(
                 log_prob_fn, np.mean(x0, axis=0)
@@ -237,14 +251,26 @@ def run_ensemble(
     if resume:
         x0 = np.asarray(backend.get_last_sample(), dtype=np.float32)
         iteration = int(backend.iteration)
-        if state_blob is not None and (
-            int(np.asarray(state_blob.get("_iteration", -1))) != iteration
+        if (
+            state_blob is not None
+            and "_iteration" in state_blob
+            and int(np.asarray(state_blob["_iteration"])) != iteration
         ):
             # chain append and state save are two HDF5 transactions; a crash
             # between them leaves a blob one chunk behind the file.  Resuming
             # from it would regenerate and re-append that exact chunk (a
             # duplicated block that biases tau and the posterior) — fall back
-            # to the statistical re-init path instead.
+            # to the statistical re-init path instead.  Blobs written before
+            # the _iteration key existed are trusted as-is (pre-upgrade
+            # behavior; they carry no crash marker either way).
+            import warnings
+
+            warnings.warn(
+                f"sampler_state is {iteration - int(np.asarray(state_blob['_iteration']))} "
+                "steps behind the chain file (crash between append and state "
+                "save?) — discarding it and resuming statistically",
+                stacklevel=2,
+            )
             state_blob = None
         # The persisted history is only needed if a tau estimate actually
         # fires (it may never: short extensions, tau_check_growth past

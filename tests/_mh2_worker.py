@@ -85,6 +85,24 @@ chain = backend.get_chain()  # both processes read the shared HDF5
 assert chain.shape[1:] == (32, NDIM), chain.shape
 assert np.all(np.isfinite(chain))
 
+# resume across processes: the second call takes the broadcast resume
+# branch, the all_agree sampler_state consistency check, and the exact
+# per-walker state restore — all genuine 2-process collectives — then
+# extends the shared chain without touching the existing prefix.
+# convergence_check=False forces the extension: the first run's loose
+# criteria converge immediately, and a converged chain resumed under the
+# same criteria is (by design) an idempotent no-op.
+backend = sampler_run.run_ensemble(
+    log_prob, x0, shared, method="emcee",
+    ntimes=1, tautol=100.0, meanshift=1e9, stdshift=1e9,
+    check_every=8, max_iterations=32, seed=5, shard_walkers=True,
+    convergence_check=False,
+)
+MH.barrier("after-shared-resume")
+chain2 = backend.get_chain()
+assert len(chain2) == 32, len(chain2)
+assert np.array_equal(chain2[:16], chain), "resume must preserve the prefix"
+
 # ------------------------------------------- phase 2: per-process write gate
 mine = os.path.join(gate_base + str(jax.process_index()))
 rng = np.random.default_rng(7)
