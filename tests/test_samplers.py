@@ -194,6 +194,34 @@ def test_convergence_check_off_runs_exact_steps(tmp_path):
     assert b2.iteration == 150
 
 
+def test_rerun_on_converged_chain_is_noop(tmp_path):
+    """Re-running on a chain that already passed the convergence test is an
+    idempotent no-op under unchanged criteria (the persisted ``_converged``
+    flag triggers an on-resume re-evaluation, run.py), while TIGHTENED
+    criteria force the chain to extend."""
+    lp = _gauss_logprob(MEAN, STD)
+    x0 = (np.random.default_rng(4).normal(size=(16, 2)) * 0.1 + MEAN).astype(
+        np.float32
+    )
+    kw = dict(method="zeus", ntimes=1, tautol=1e9, meanshift=1e9,
+              stdshift=1e9, nk=1, check_every=25, seed=9, shard_walkers=False)
+    b = run.run_ensemble(lp, x0, str(tmp_path), max_iterations=400, **kw)
+    n1 = b.iteration
+    assert n1 < 400, "loose criteria must converge before max_iterations"
+    chain1 = b.get_chain()
+
+    b2 = run.run_ensemble(lp, x0, str(tmp_path), max_iterations=400, **kw)
+    assert b2.iteration == n1
+    np.testing.assert_array_equal(b2.get_chain(), chain1)
+
+    # stricter ntimes: the re-evaluation fails -> the chain extends
+    b3 = run.run_ensemble(
+        lp, x0, str(tmp_path), max_iterations=n1 + 50, **{**kw, "ntimes": 1e6}
+    )
+    assert b3.iteration > n1
+    np.testing.assert_array_equal(b3.get_chain()[:n1], chain1)
+
+
 @pytest.mark.parametrize("method", ["emcee", "zeus"])
 def test_resume_convergence_decisions_match(tmp_path, method):
     """A run interrupted mid-chain and resumed stops at the SAME iteration
