@@ -280,17 +280,21 @@ class EnsembleTrainer:
         """Per-member LR range test with per-member ``lr.npy`` persistence
         (reference linna/predictor_gpu.py:222-246)."""
         # the have/missing split decides whether the collective LR sweep is
-        # dispatched — broadcast the primary's loaded VALUES (NaN = missing)
-        # so every pod host takes the same branch AND uses the same numbers
-        # (a lagging shared-filesystem view on a non-primary host would
-        # otherwise skip a sweep the others join, or fail loading a file the
-        # primary just wrote)
-        vals_local = np.full(self.n_members, np.nan)
-        for m, d in enumerate(self.outdirs):
-            path = os.path.join(d, "lr.npy")
-            if os.path.isfile(path):
-                vals_local[m] = float(np.load(path))
-        lr_out = np.asarray(MH.broadcast(vals_local)).copy()
+        # dispatched — the PRIMARY loads the per-member values (NaN =
+        # missing) and they ship bit-exactly to every pod host, so all hosts
+        # take the same branch with the same numbers and a non-primary host
+        # with a lagging or torn shared-filesystem view neither skips a
+        # sweep the others join nor crashes reading a file the primary just
+        # wrote (it never opens the files at all)
+        def _load_lrs():
+            vals = np.full(self.n_members, np.nan)
+            for m, d in enumerate(self.outdirs):
+                path = os.path.join(d, "lr.npy")
+                if os.path.isfile(path):
+                    vals[m] = float(np.load(path))
+            return vals
+
+        lr_out = np.asarray(MH.broadcast_from_primary(_load_lrs))
         missing = [m for m in range(self.n_members) if not np.isfinite(lr_out[m])]
         if not missing:
             return lr_out

@@ -48,7 +48,7 @@ __all__ = [
     "fetch",
     "broadcast",
     "primary_flag",
-    "all_agree",
+    "broadcast_from_primary",
     "process_count",
 ]
 
@@ -190,23 +190,48 @@ def broadcast(x: Any) -> Any:
     return multihost_utils.broadcast_one_to_all(x)
 
 
-def all_agree(value: bool) -> bool:
-    """True iff every process passes the same boolean.
+def broadcast_from_primary(load_fn: Callable[[], Any]) -> Any:
+    """Evaluate ``load_fn`` on the primary only; every process gets the
+    result **bit-exactly**.
 
-    For consistency checks that must fail on EVERY host together: a raise on
-    just the disagreeing host leaves the others blocked in their next
-    collective until the runtime heartbeat times out.  Single-process:
-    always True."""
+    The one sanctioned way to turn a file on the primary's filesystem into
+    state every pod host computes with: the primary loads, the payload ships
+    to all hosts, and no other process ever touches the file — so a lagging
+    or torn shared-filesystem view on a non-primary host can neither crash a
+    read nor put that host in numerically different state (it would dispatch
+    different sharded programs and hang the pod).  Used for sampler resume
+    state, preconditioners and per-member learning rates.
+
+    Ships a pickled byte buffer rather than the object through
+    :func:`broadcast`: ``broadcast_one_to_all`` needs an identical array
+    structure pre-declared on every host (impossible for data-dependent
+    dicts) and canonicalizes dtypes through device arrays — float64 values
+    silently truncate to float32 under JAX's default x64-disabled config.
+    Bytes preserve structure and precision exactly.  In-job IPC between
+    processes of one SPMD program, not an on-disk format (artifacts stay
+    pickle-free).  Payloads are bounded by the int32 byte-length broadcast
+    (2 GiB).  Single-process: plain ``load_fn()``."""
     import jax
 
     if jax.process_count() == 1:
-        return True
+        return load_fn()
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    flags = multihost_utils.process_allgather(
-        np.asarray([np.int32(bool(value))])
+    if is_primary():
+        payload = np.frombuffer(
+            pickle.dumps(load_fn(), protocol=pickle.HIGHEST_PROTOCOL), np.uint8
+        )
+    else:
+        payload = np.zeros(0, np.uint8)
+    nbytes = int(
+        multihost_utils.broadcast_one_to_all(np.asarray(len(payload), np.int32))
     )
-    return bool(np.min(flags) == np.max(flags))
+    buf = np.zeros(nbytes, np.uint8)
+    buf[: len(payload)] = payload  # non-primary contributes zeros, discarded
+    buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return pickle.loads(buf.tobytes())
 
 
 def primary_flag(value: bool) -> bool:

@@ -19,6 +19,7 @@ last sample when the file already exists (linna/sampler.py:475-487,713-725).
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Callable, Optional
 
 import jax
@@ -175,18 +176,12 @@ def run_ensemble(
     # exact-resume blob: full sampler state + convergence bookkeeping saved
     # after every chunk (reference stores the emcee RNG/move state each
     # save_step, linna/sampler.py:346-368); absent on pre-upgrade chains,
-    # which fall back to the statistical re-init path
-    state_blob = backend.load_state() if resume else None
-    if resume and not MH.all_agree(state_blob is not None):
-        # a host whose shared-filesystem view disagrees would take a
-        # different init branch (exact vs statistical) and dispatch
-        # different sharded programs — fail loudly on EVERY host together
-        # (a single-host raise would leave the rest blocked in their next
-        # collective)
-        raise RuntimeError(
-            "inconsistent sampler_state view across pod hosts; "
-            "check the shared filesystem"
-        )
+    # which fall back to the statistical re-init path.  The primary's file
+    # is authoritative: it loads once and the blob ships bit-exactly to
+    # every pod host, so hosts can never take different init branches (exact
+    # vs statistical dispatch different sharded programs — a pod hang) no
+    # matter how stale a non-primary's shared-filesystem view is.
+    state_blob = MH.broadcast_from_primary(backend.load_state) if resume else None
 
     precond = None
     if method in GRADIENT_METHODS:
@@ -196,23 +191,14 @@ def run_ensemble(
         # the SAME space without re-paying the MAP search.
         pfile = os.path.join(outdir, PRECOND_FILENAME)
         if resume and MH.primary_flag(os.path.isfile(pfile)):
-            # the primary loads; the arrays are broadcast so a pod host with
-            # a lagging filesystem view neither crashes on the read nor
-            # samples in a numerically different whitened space
-            if MH.is_primary():
+            # primary loads, values ship bit-exactly (full f64) to all hosts
+            # — a pod host with a lagging filesystem view neither crashes on
+            # the read nor samples in a numerically different whitened space
+            def _load_precond():
                 z = np.load(pfile)
-                payload = (
-                    np.asarray(z["center"], np.float64),
-                    np.asarray(z["basis"], np.float64),
-                    np.asarray(z["scales"], np.float64),
-                )
-            else:
-                payload = (
-                    np.zeros(ndim),
-                    np.zeros((ndim, ndim)),
-                    np.zeros(ndim),
-                )
-            center, basis, scales = MH.broadcast(payload)
+                return z["center"], z["basis"], z["scales"]
+
+            center, basis, scales = MH.broadcast_from_primary(_load_precond)
             precond = precondition.Preconditioner(center, basis, scales)
         else:
             precond = precondition.calc_hess_mass_mat(
@@ -249,8 +235,16 @@ def run_ensemble(
     iteration = 0
     hist_pending = 0  # persisted steps not yet hydrated into the window
     if resume:
-        x0 = np.asarray(backend.get_last_sample(), dtype=np.float32)
-        iteration = int(backend.iteration)
+        # primary view of the chain file, shipped to all hosts: walker
+        # positions and the step counter drive both the sampler inputs and
+        # every branch below — per-host reads could diverge on a lagging
+        # shared-filesystem view
+        x0, iteration = MH.broadcast_from_primary(
+            lambda: (
+                np.asarray(backend.get_last_sample(), dtype=np.float32),
+                int(backend.iteration),
+            )
+        )
         if (
             state_blob is not None
             and "_iteration" in state_blob
@@ -263,8 +257,6 @@ def run_ensemble(
             # to the statistical re-init path instead.  Blobs written before
             # the _iteration key existed are trusted as-is (pre-upgrade
             # behavior; they carry no crash marker either way).
-            import warnings
-
             warnings.warn(
                 f"sampler_state is {iteration - int(np.asarray(state_blob['_iteration']))} "
                 "steps behind the chain file (crash between append and state "
@@ -325,8 +317,6 @@ def run_ensemble(
 
             walker_mesh = Mesh(np.asarray(jax.devices()), ("walkers",))
         else:
-            import warnings
-
             warnings.warn(
                 f"walker sharding skipped: nwalkers={nwalkers} is not a "
                 f"multiple of 2*device_count={2 * jax.device_count()}; the "
@@ -429,46 +419,59 @@ def run_ensemble(
         # tau is estimated over at most the trailing ``tau_window`` steps —
         # that caps both the per-check FFT cost (O(n log n) in window size)
         # and host memory; the tau*ntimes < iteration test uses the full
-        # persisted step count.
-        _hydrate()
-        recent = np.concatenate(rolling) if len(rolling) > 1 else rolling[0]
-        if method != "zeus":
-            tau = convergence.integrated_time(
-                recent[-tau_window:], max_walkers=tau_walkers
-            )
-            if np.isnan(np.sum(tau)) and iteration > 10:
-                return False, True
-            converged = bool(np.all(tau * ntimes < iteration))
-            converged &= bool(
-                np.all(np.abs(old_tau - tau) / tau * dtau_scale < tautol)
-            )
-            window = max(int(nk * np.mean(tau)), 2)
-            converged &= convergence.check_mean_std(
-                recent[-window:], meanshift, stdshift
-            )
-        else:
-            # zeus path: scalar mean tau over the chain minus 20% burn-in
-            # (linna/sampler.py:682-691, discard=0.2).  The burn-in cut is
-            # applied exactly: steps older than the in-memory window are all
-            # pre-burn-in once 0.8*iteration exceeds the window.
-            burn = int(0.2 * iteration)
-            behind = iteration - len(recent)  # older steps, not in memory
-            drop = max(0, burn - behind)
-            tau_arr = convergence.integrated_time(
-                recent[drop:][-tau_window:], max_walkers=tau_walkers
-            )
-            tau = float(np.mean(tau_arr))
-            converged = tau * ntimes < iteration
-            converged &= bool(np.abs(old_tau - tau) / tau * dtau_scale < tautol)
-            window = max(int(nk * tau), 2)
-            converged &= convergence.check_mean_std(
-                recent[-window:], meanshift, stdshift
-            )
-        if progress:
-            print(
-                f"iter {iteration}: tau={np.mean(tau):.2f} converged={converged}",
-                flush=True,
-            )
+        # persisted step count.  The estimate runs on the PRIMARY alone (its
+        # window may hydrate from the HDF5 chain file, run.py _hydrate) and
+        # the verdict + new tau ship to every host, so the loop's
+        # break/continue branch is identical everywhere no matter how stale
+        # a non-primary's filesystem view is.
+        def _estimate():
+            _hydrate()
+            recent = np.concatenate(rolling) if len(rolling) > 1 else rolling[0]
+            if method != "zeus":
+                tau = convergence.integrated_time(
+                    recent[-tau_window:], max_walkers=tau_walkers
+                )
+                if np.isnan(np.sum(tau)) and iteration > 10:
+                    return False, True, None
+                converged = bool(np.all(tau * ntimes < iteration))
+                converged &= bool(
+                    np.all(np.abs(old_tau - tau) / tau * dtau_scale < tautol)
+                )
+                window = max(int(nk * np.mean(tau)), 2)
+                converged &= convergence.check_mean_std(
+                    recent[-window:], meanshift, stdshift
+                )
+            else:
+                # zeus path: scalar mean tau over the chain minus 20% burn-in
+                # (linna/sampler.py:682-691, discard=0.2).  The burn-in cut is
+                # applied exactly: steps older than the in-memory window are
+                # all pre-burn-in once 0.8*iteration exceeds the window.
+                burn = int(0.2 * iteration)
+                behind = iteration - len(recent)  # older steps, not in memory
+                drop = max(0, burn - behind)
+                tau_arr = convergence.integrated_time(
+                    recent[drop:][-tau_window:], max_walkers=tau_walkers
+                )
+                tau = float(np.mean(tau_arr))
+                converged = tau * ntimes < iteration
+                converged &= bool(
+                    np.abs(old_tau - tau) / tau * dtau_scale < tautol
+                )
+                window = max(int(nk * tau), 2)
+                converged &= convergence.check_mean_std(
+                    recent[-window:], meanshift, stdshift
+                )
+            if progress:
+                print(
+                    f"iter {iteration}: tau={np.mean(tau):.2f} "
+                    f"converged={converged}",
+                    flush=True,
+                )
+            return converged, False, tau
+
+        converged, nan_stop, tau = MH.broadcast_from_primary(_estimate)
+        if nan_stop:
+            return False, True
         old_tau = tau
         return converged, False
 

@@ -42,6 +42,15 @@ from linna_tpu import transforms as T  # noqa: E402
 from linna_tpu.parallel.ensemble import EnsembleTrainer  # noqa: E402
 from linna_tpu.samplers import run as sampler_run  # noqa: E402
 
+# broadcast_from_primary ships primary-loaded values bit-exactly across
+# processes: full float64 (broadcast_one_to_all would truncate to f32 under
+# the default x64-disabled config) and data-dependent structure
+blob = MH.broadcast_from_primary(
+    lambda: {"v": np.array([1.0 + 2.0**-52, -3.5], np.float64), "n": 7}
+)
+assert blob["n"] == 7 and blob["v"].dtype == np.float64
+assert blob["v"][0] == 1.0 + 2.0**-52, "f64 payload must survive bit-exactly"
+
 shared = sys.argv[1]
 gate_base = sys.argv[2]
 NDIM, NDATA = 3, 4
@@ -86,9 +95,10 @@ assert chain.shape[1:] == (32, NDIM), chain.shape
 assert np.all(np.isfinite(chain))
 
 # resume across processes: the second call takes the broadcast resume
-# branch, the all_agree sampler_state consistency check, and the exact
-# per-walker state restore — all genuine 2-process collectives — then
-# extends the shared chain without touching the existing prefix.
+# branch, the primary-loaded sampler-state blob + walker positions via
+# broadcast_from_primary, and the exact per-walker state restore — all
+# genuine 2-process collectives — then extends the shared chain without
+# touching the existing prefix.
 # convergence_check=False forces the extension: the first run's loose
 # criteria converge immediately, and a converged chain resumed under the
 # same criteria is (by design) an idempotent no-op.

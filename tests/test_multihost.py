@@ -28,3 +28,14 @@ def test_primary_only_runs_on_primary():
 
 def test_barrier_returns_single_process():
     MH.barrier("test")
+
+
+def test_broadcast_from_primary_single_process():
+    """Single-process: plain load_fn() — same object, full f64 precision,
+    arbitrary structure (the pod path pins bit-exactness in
+    tests/_mh2_worker.py)."""
+    import numpy as np
+
+    val = {"a": np.array([1.0 + 1e-12], np.float64), "b": ("x", 3)}
+    out = MH.broadcast_from_primary(lambda: val)
+    assert out is val  # no serialization round-trip single-process
