@@ -68,17 +68,41 @@ def save_samples_y(outdir: str, name: str, y: np.ndarray) -> None:
     np.save(os.path.join(outdir, f"{name}_samples_y.npy"), y)
 
 
-def _load_pairs(outdir_list: Sequence[str], name: str) -> Tuple[np.ndarray, np.ndarray]:
+def _load_pairs(
+    outdir_list: Sequence[str], name: str, skip_missing: bool = False
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack a split across iteration directories.
+
+    ``ndmin=2`` keeps one-parameter (single-column) and single-row files 2-D
+    — the reference's ``len(_) > 1`` skip (linna/util.py:1347-1357) existed
+    to work around np.loadtxt's squeeze and silently dropped both cases.
+    ``skip_missing`` tolerates directories without the split's files (an
+    iteration that ran with best points disabled).
+    """
     xs: List[np.ndarray] = []
     ys: List[np.ndarray] = []
     for outdir in outdir_list:
-        x = np.loadtxt(sample_x_path(outdir, name))
-        if x.ndim > 1 and len(x) > 1:
+        xpath = sample_x_path(outdir, name)
+        ypath = sample_y_path(outdir, name)
+        if skip_missing and not (os.path.isfile(xpath) and os.path.isfile(ypath)):
+            continue
+        x = np.loadtxt(xpath, ndmin=2)
+        if x.size:
             xs.append(x)
-        y = np.load(sample_y_path(outdir, name))
-        if y.ndim > 1 and len(y) > 1:
+        y = np.atleast_2d(np.load(ypath))
+        if y.size:
             ys.append(y)
-    return np.concatenate(xs), np.concatenate(ys)
+    if not xs or not ys:
+        raise ValueError(
+            f"no '{name}' sample rows found under {list(outdir_list)}"
+        )
+    x_all, y_all = np.concatenate(xs), np.concatenate(ys)
+    if len(x_all) != len(y_all):
+        raise ValueError(
+            f"misaligned '{name}' artifacts: {len(x_all)} x rows vs "
+            f"{len(y_all)} y rows across {list(outdir_list)}"
+        )
+    return x_all, y_all
 
 
 def load_iteration_stack(
@@ -86,24 +110,26 @@ def load_iteration_stack(
 ) -> TrainingData:
     """Concatenate all iterations' train/val sets (reference
     linna/util.py:1342-1408); optionally prepend optimizer-centred ``best``
-    points."""
+    points.  Iterations that ran with best points disabled (per-iteration
+    ``nbest``) simply contribute none — the reference crashed on the missing
+    files."""
     train_x, train_y = _load_pairs(outdir_list, "train")
     val_x, val_y = _load_pairs(outdir_list, "val")
     y_stats = np.load(os.path.join(outdir_list[0], "train_samples_y.npy"))
     if len(y_stats) == 0:
         y_stats = train_y
     if usebest:
-        bx, by = _load_pairs(outdir_list, "best")
+        bx, by = _load_pairs(outdir_list, "best", skip_missing=True)
         train_x = np.concatenate([bx, train_x])
         train_y = np.concatenate([by, train_y])
-        bvx, bvy = _load_pairs(outdir_list, "best_val" if _has_best_val(outdir_list) else "best")
+        try:
+            bvx, bvy = _load_pairs(outdir_list, "best_val", skip_missing=True)
+        except ValueError:
+            # pre-best_val artifact layout: validate on the best points
+            bvx, bvy = bx, by
         val_x = np.concatenate([bvx, val_x])
         val_y = np.concatenate([bvy, val_y])
     return TrainingData(train_x, train_y, val_x, val_y, y_stats)
-
-
-def _has_best_val(outdir_list: Sequence[str]) -> bool:
-    return os.path.isfile(sample_x_path(outdir_list[0], "best_val"))
 
 
 def curate(data: TrainingData, ypositive: bool = False) -> TrainingData:

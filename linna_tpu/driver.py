@@ -218,7 +218,16 @@ def _load_data_cov(params: dict):
         mask = np.ones(len(cov), dtype=bool)
     mask = align_mask(mask, len(cov))
     cov = cov[mask][:, mask]
-    data = data[mask[: len(data)]] if len(data) != len(cov) else data[mask]
+    if len(data) == len(mask):
+        data = data[mask]  # full-length vector: mask applied here
+    elif len(data) != len(cov):
+        # neither the full nor the already-masked length — a silent
+        # truncation here would misalign data and covariance downstream
+        raise ValueError(
+            f"data vector has {len(data)} points; expected the full "
+            f"{len(mask)} (masked here) or the pre-masked {len(cov)}"
+        )
+    # len(data) == len(cov) (and != len(mask)): pre-masked upstream, keep
     if "transform_matrix_file" in params:
         # Generic linear data-compression hook: data <- T data,
         # cov <- T cov T^T.  The reference applied a cosmolike-computed

@@ -126,11 +126,21 @@ def read_chain_and_cut(
     flat: bool = False,
 ):
     """Keep the last ``nk * median(tau)`` steps of the physical-space chain
-    (reference linna/util.py:68-94)."""
+    (reference linna/util.py:68-94).  ``ntimes`` is diagnostic only, exactly
+    as in the reference (linna/util.py:76-77): a keep factor beyond the
+    convergence criterion's tau multiple would reach into burn-in."""
     reader = _open_backend(chainname, method)
     raw = reader.get_chain()
     tau = convergence.integrated_time(raw)
     nkeep = int(np.nanmedian(tau) * nk)
+    if nk > ntimes:
+        import warnings
+
+        warnings.warn(
+            f"nk={nk} exceeds ntimes={ntimes}: the kept window reaches "
+            "beyond the converged span and will include burn-in steps",
+            stacklevel=2,
+        )
     chain = reader.get_value("chain_transformed")
     log_prob_samples = reader.get_log_prob()
     if walkercut:
@@ -183,6 +193,12 @@ def train_emulator(
             _write_finish(finish_path)
         return
 
+    # per-host stack read (NOT broadcast_from_primary): the sample files were
+    # written and CLOSED by the primary before the training-points barrier,
+    # so shared-filesystem close-to-open consistency guarantees every host
+    # reads identical bytes — unlike the sampler's mid-run reads of a file
+    # the primary still holds open (those go through the primary-only
+    # loader).  Broadcasting the ~100 MB stacks would cost more than it buys.
     stack = D.curate(D.load_iteration_stack(outdir_list, usebest=usebest), ypositive)
     x_transform = T.fit_x_transform(stack.train_x, dolog10index)
     y_data = T.YTransformData(jax.numpy.asarray(sigma, dtype=jax.numpy.float32))
@@ -333,9 +349,11 @@ def retrieve_ensemble_params(outdir: str, trainer: Trainer) -> list:
 
 
 def _saved_shapes(outdir: str):
-    x = np.loadtxt(os.path.join(outdir, "train_samples_x.txt"))
+    # ndmin=2: a one-parameter run's single-column file must read as (N, 1)
+    # (atleast_2d on the squeezed 1-D array would report N as the input size)
+    x = np.loadtxt(os.path.join(outdir, "train_samples_x.txt"), ndmin=2)
     y = np.load(os.path.join(outdir, "train_samples_y.npy"))
-    return int(np.atleast_2d(x).shape[1]), int(np.atleast_2d(y).shape[1])
+    return int(x.shape[1]), int(np.atleast_2d(y).shape[1])
 
 
 def retrieve_model_exist(
@@ -707,10 +725,13 @@ def ml_sampler_core(
     last = os.path.join(
         outdir, f"iter_{len(ntrainArr)-1}/", _chain_filename(methods[-1])
     )
+    # the returned log-probs are the SAME cut rows as the chain.  (The
+    # reference overwrites them with the full-chain flat array,
+    # linna/main.py:291 — misaligned with the cut chain it returns next to
+    # them; deliberate deviation.)
     chain, log_prob_samples, reader = read_chain_and_cut(
-        last, nkeepArr[-1], ntimesArr[-1], method=methods[-1]
+        last, nkeepArr[-1], ntimesArr[-1], method=methods[-1], flat=True
     )
-    log_prob_samples = reader.get_log_prob(flat=True)
 
     if "nimp" in params and is_master:
         imp_args = (
@@ -793,9 +814,16 @@ def _importance_sampling(
             for t, s in zip(theory_vals, chain)
         ]
     )
-    w = np.exp(logp - log_prob_samples)
-    logw = np.log(w)
-    w[np.abs(logw - np.mean(logw)) > 2 * np.std(logw)] = 0
+    # log-space weights: the reference's w=exp(logp-logp_em) then log(w)
+    # (linna/main.py:331-333) overflows to inf/NaN for |Delta logp| beyond
+    # ~709 — exactly the outliers the 2-sigma zeroing exists to catch — and
+    # one such point poisons mean/std so nothing gets zeroed.  Computing
+    # logw directly and shifting before exponentiation is exact for the
+    # well-conditioned case and robust for the pathological one.
+    logw = logp - log_prob_samples
+    keep = np.abs(logw - np.mean(logw)) <= 2 * np.std(logw)
+    w = np.exp(logw - np.max(logw[keep]))
+    w[~keep] = 0.0
     w = w / np.sum(w)
     if MH.is_primary():
         np.save(os.path.join(outdir, "weight_im.npy"), [log_prob_samples, logp, w])

@@ -96,13 +96,18 @@ class NNSampler:
         return self.prior_range.shape[0] > 1 and self.prior_range[1][1] < 1e-5
 
     def gensample_flat(
-        self, n_samples: int, omegab2cut: Optional[Sequence] = None
+        self,
+        n_samples: int,
+        omegab2cut: Optional[Sequence] = None,
+        seed: Optional[int] = None,
     ) -> np.ndarray:
         """Centred LHS over the prior box, with the physical cut applied and
         the hypercube regrown until ``n_samples`` survive
-        (reference linna/util.py:775-814)."""
+        (reference linna/util.py:775-814).  ``seed`` overrides the sampler
+        seed — used to decorrelate the validation draw from the training draw
+        (see generate_training_point)."""
         n_samples = int(n_samples)
-        rng = np.random.default_rng(self.seed)
+        rng = np.random.default_rng(self.seed if seed is None else seed)
         n_try = n_samples
         while True:
             unit = lhs_center(len(self.prior_range), n_try, rng) * 2.0 - 1.0
@@ -128,6 +133,7 @@ class NNSampler:
         chain: np.ndarray,
         nsigma: float,
         omegab2cut: Optional[Sequence] = None,
+        seed: Optional[int] = None,
     ) -> np.ndarray:
         """LHS in the chain's covariance eigenspace scaled to ``nsigma``,
         rejecting points outside the prior box
@@ -144,7 +150,7 @@ class NNSampler:
         cov = np.cov(chain.T)
         vals, vecs = np.linalg.eigh(cov)
         vals = np.maximum(vals, 0.0)
-        rng = np.random.default_rng(self.seed)
+        rng = np.random.default_rng(self.seed if seed is None else seed)
         n_factor = 1
         while True:
             unit = lhs_center(chain.shape[1], n_factor * n_samples, rng) * 2.0 - 1.0
@@ -170,6 +176,7 @@ class NNSampler:
         chain: np.ndarray,
         nsigma: float = 0,
         omegab2cut: Optional[Sequence] = None,
+        seed: Optional[int] = None,
     ) -> np.ndarray:
         """Random draw of chain rows inside the prior box and physical cuts —
         the production default, trainingoption=1
@@ -180,7 +187,7 @@ class NNSampler:
             (chain > self.prior_range[:, 0]) & (chain < self.prior_range[:, 1]), axis=1
         )
         chain = chain[inside]
-        rng = np.random.default_rng(self.seed)
+        rng = np.random.default_rng(self.seed if seed is None else seed)
         return chain[rng.integers(0, len(chain), int(n_samples))]
 
     def generate_training_data(
@@ -244,26 +251,36 @@ def generate_training_point(
         return
     os.makedirs(outdir, exist_ok=True)
 
-    def _gen(n):
+    def _gen(n, salt):
+        # salt=0 train, salt=1 val.  The reference re-seeds identically on
+        # every call (linna/util.py:881 np.random.seed(self.seed)), which for
+        # the chain-randomsample production path makes the validation set the
+        # EXACT first-nval prefix of the training draw — the trainer then
+        # validates on training rows and overfitting is undetectable.
+        # Salting the val draw is a deliberate deviation from the reference.
+        seed = nnsampler.seed + salt
         if chain is None:
-            return nnsampler.gensample_flat(n, omegab2cut=omegab2cut)
+            return nnsampler.gensample_flat(n, omegab2cut=omegab2cut, seed=seed)
         if options == 0:
-            return nnsampler.gensample_chain(n, chain, nsigma, omegab2cut=omegab2cut)
+            return nnsampler.gensample_chain(
+                n, chain, nsigma, omegab2cut=omegab2cut, seed=seed
+            )
         if options == 1:
             return nnsampler.gensample_chain_randomsample(
-                n, chain, nsigma, omegab2cut=omegab2cut
+                n, chain, nsigma, omegab2cut=omegab2cut, seed=seed
             )
         raise ValueError(f"options={options} not recognized")
 
-    for name, n in (("train", ntrain), ("val", nval)):
+    for salt, (name, n) in enumerate((("train", ntrain), ("val", nval))):
         xpath = sample_x_path(outdir, name)
         if not os.path.isfile(xpath):
-            np.savetxt(xpath, _gen(n))
+            np.savetxt(xpath, _gen(n, salt))
 
     for name in ("train", "val"):
         ypath = sample_y_path(outdir, name)
         if not os.path.isfile(ypath):
-            x = np.loadtxt(sample_x_path(outdir, name))
+            # ndmin=2: a single-parameter (one-column) file must stay (N, 1)
+            x = np.loadtxt(sample_x_path(outdir, name), ndmin=2)
             scratch = os.path.join(outdir, name)
             os.makedirs(scratch, exist_ok=True)
             y = nnsampler.generate_training_data(
@@ -298,7 +315,7 @@ def _generate_best_points(
 
     bx_path = sample_x_path(outdir, "best")
     if not os.path.isfile(bx_path):
-        train_x = np.loadtxt(sample_x_path(outdir, "train"))
+        train_x = np.loadtxt(sample_x_path(outdir, "train"), ndmin=2)
         best = minimize(negloglike, train_x[0], method="Nelder-Mead", tol=1e-6).x
         hess = _numerical_hessian(negloglike, best)
         inv_hess = np.linalg.inv(make_positive_definite(hess))
@@ -310,7 +327,7 @@ def _generate_best_points(
     for name in ("best", "best_val"):
         ypath = sample_y_path(outdir, name)
         if not os.path.isfile(ypath):
-            x = np.atleast_2d(np.loadtxt(sample_x_path(outdir, name)))
+            x = np.loadtxt(sample_x_path(outdir, name), ndmin=2)
             with tempfile.TemporaryDirectory() as tmp:
                 y = nnsampler.generate_training_data(
                     zip(range(len(x)), x), theory, pool=pool, args=[tmp]
@@ -342,10 +359,16 @@ def _numerical_hessian(f: Callable, x: np.ndarray, eps: float = 1e-4) -> np.ndar
 def _chisqcut_files(data, invcov, chisqcut, fnamey, fnamex) -> None:
     """Drop rows with y^T C^-1 y above the cut (reference
     linna/util.py:1260-1270 — note the cut is on the raw prediction norm,
-    not the residual)."""
-    y = np.load(fnamey)
-    x = np.loadtxt(fnamex)
+    not the residual).  ``ndmin=2`` keeps single-row best-point files 2-D
+    (np.loadtxt squeezes them to 1-D otherwise, crashing the boolean index),
+    and both cuts are computed before either file is replaced so a crash
+    here cannot leave misaligned (x, y) artifacts for the resume."""
+    y = np.atleast_2d(np.load(fnamey))
+    x = np.loadtxt(fnamex, ndmin=2)
     chisq = np.einsum("ij,jk,ik->i", y, invcov, y)
     keep = chisq < chisqcut
-    np.save(fnamey, y[keep])
-    np.savetxt(fnamex, x[keep])
+    y_keep, x_keep = y[keep], x[keep]
+    np.save(fnamey + ".tmp.npy", y_keep)
+    np.savetxt(fnamex + ".tmp", x_keep)
+    os.replace(fnamey + ".tmp.npy", fnamey)
+    os.replace(fnamex + ".tmp", fnamex)

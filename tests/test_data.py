@@ -1,0 +1,94 @@
+"""Training-data loader robustness (linna_tpu/data.py): per-iteration best
+points, one-parameter problems, artifact misalignment.  The reference's
+loader (linna/util.py:1342-1408) crashes on the first two and silently
+trains on the third."""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from linna_tpu import data as D
+
+
+def _write_split(outdir, name, x, y):
+    outdir.mkdir(parents=True, exist_ok=True)
+    np.savetxt(D.sample_x_path(str(outdir), name), x)
+    np.save(D.sample_y_path(str(outdir), name), y)
+
+
+def _write_iteration(outdir, n, ndim=2, ndata=3, seed=0):
+    rng = np.random.default_rng(seed)
+    for name, rows in (("train", n), ("val", max(n // 4, 1))):
+        x = rng.uniform(-1, 1, (rows, ndim))
+        _write_split(outdir, name, x, x @ rng.standard_normal((ndim, ndata)))
+
+
+def test_usebest_skips_iterations_without_best_files(tmp_path):
+    """Per-iteration nbest: iterations that ran with best points disabled
+    contribute none instead of crashing the stack load."""
+    dirs = [tmp_path / f"iter_{i}" for i in range(3)]
+    for i, d in enumerate(dirs):
+        _write_iteration(d, 8, seed=i)
+    # only the last iteration generated optimizer-centred points
+    rng = np.random.default_rng(9)
+    bx = rng.uniform(-1, 1, (4, 2))
+    by = bx @ rng.standard_normal((2, 3))
+    _write_split(dirs[2], "best", bx, by)
+    _write_split(dirs[2], "best_val", bx[:1], by[:1])
+
+    stack = D.load_iteration_stack([str(d) for d in dirs], usebest=True)
+    assert len(stack.train_x) == 3 * 8 + 4
+    npt.assert_array_equal(stack.train_x[:4], bx)
+    assert len(stack.val_x) == 3 * 2 + 1
+
+
+def test_usebest_falls_back_to_best_when_no_best_val(tmp_path):
+    d = tmp_path / "iter_0"
+    _write_iteration(d, 8)
+    rng = np.random.default_rng(3)
+    bx = rng.uniform(-1, 1, (4, 2))
+    _write_split(d, "best", bx, bx @ rng.standard_normal((2, 3)))
+    stack = D.load_iteration_stack([str(d)], usebest=True)
+    npt.assert_array_equal(stack.val_x[:4], bx)
+
+
+def test_one_parameter_problem_loads_2d(tmp_path):
+    """A single sampled parameter writes one-column files; np.loadtxt
+    squeezes them to 1-D — the loader must restore (N, 1)."""
+    d = tmp_path / "iter_0"
+    _write_iteration(d, 6, ndim=1)
+    stack = D.load_iteration_stack([str(d)])
+    assert stack.train_x.shape == (6, 1)
+    assert stack.val_x.shape[1] == 1
+
+
+def test_single_row_files_are_kept(tmp_path):
+    """The reference dropped single-row sample files (a workaround for the
+    loadtxt squeeze); they are real data and must survive."""
+    d0, d1 = tmp_path / "iter_0", tmp_path / "iter_1"
+    _write_iteration(d0, 8, seed=0)
+    rng = np.random.default_rng(5)
+    x1 = rng.uniform(-1, 1, (1, 2))
+    _write_split(d1, "train", x1, x1 @ rng.standard_normal((2, 3)))
+    _write_split(d1, "val", x1, x1 @ rng.standard_normal((2, 3)))
+    stack = D.load_iteration_stack([str(d0), str(d1)])
+    assert len(stack.train_x) == 9
+    npt.assert_array_equal(stack.train_x[-1:], x1)
+
+
+def test_misaligned_artifacts_raise(tmp_path):
+    d = tmp_path / "iter_0"
+    _write_iteration(d, 8)
+    # corrupt: y has one fewer row than x
+    y = np.load(D.sample_y_path(str(d), "train"))
+    np.save(D.sample_y_path(str(d), "train"), y[:-1])
+    with pytest.raises(ValueError, match="misaligned"):
+        D.load_iteration_stack([str(d)])
+
+
+def test_empty_stack_raises_clearly(tmp_path):
+    d = tmp_path / "iter_0"
+    _write_split(d, "train", np.empty((0, 2)), np.empty((0, 3)))
+    _write_split(d, "val", np.empty((0, 2)), np.empty((0, 3)))
+    with pytest.raises(ValueError, match="no 'train' sample rows"):
+        D.load_iteration_stack([str(d)])

@@ -251,6 +251,47 @@ def test_load_data_cov_transform_matrix(tmp_path):
         raise AssertionError("shape mismatch must raise")
 
 
+def test_load_data_cov_premasked_data(tmp_path):
+    """A data vector already cut to the masked length passes through
+    unchanged; a length matching neither the full nor masked size raises
+    instead of silently truncating."""
+    from linna_tpu.driver import _load_data_cov
+
+    rng = np.random.default_rng(1)
+    n = 6
+    a = rng.standard_normal((n, n))
+    cov = a @ a.T + n * np.eye(n)
+    mask = np.array([1, 1, 0, 1, 0, 1], dtype=float)
+    np.savetxt(tmp_path / "cov.txt", cov)
+    np.savetxt(tmp_path / "mask.txt", np.stack([np.arange(n), mask], 1))
+    params = {
+        "base_dir": str(tmp_path),
+        "cov_file": "cov.txt",
+        "cov_format": "dense",
+        "data_file": "data.txt",
+        "mask_file": "mask.txt",
+    }
+
+    # full-length data: masked here
+    full = rng.standard_normal(n)
+    np.savetxt(tmp_path / "data.txt", full)
+    d, c, m, _ = _load_data_cov(params)
+    np.testing.assert_allclose(d, full[mask > 0])
+    assert c.shape == (4, 4)
+
+    # pre-masked data (the reference's Y-statistics pipeline hands the
+    # driver an already-compressed vector): passes through unchanged
+    pre = rng.standard_normal(4)
+    np.savetxt(tmp_path / "data.txt", pre)
+    d, c, m, _ = _load_data_cov(params)
+    np.testing.assert_allclose(d, pre)
+
+    # any other length is an error, not a silent truncation
+    np.savetxt(tmp_path / "data.txt", rng.standard_normal(5))
+    with pytest.raises(ValueError, match="data vector has 5"):
+        _load_data_cov(params)
+
+
 def test_transform_matrix_end_to_end(tmp_path):
     """The compression hook must run through the FULL pipeline: theory
     outputs are compressed with the same T as data/cov (the emulator trains

@@ -103,6 +103,32 @@ def test_importance_weights_downweight_biased_emulator(tmp_path):
     npt.assert_allclose(chain, samples)
 
 
+def test_importance_weights_survive_exp_overflow(tmp_path):
+    """A point whose true-vs-emulator log-prob gap exceeds the float64 exp
+    range (~709) must be zeroed as the 2-sigma outlier it is — the
+    reference's w=exp(...) then log(w) (linna/main.py:331-333) turns it into
+    inf, poisons mean/std, and every weight comes back NaN."""
+    outdir = str(tmp_path)
+    rng = np.random.default_rng(2)
+    samples = np.linspace(-1.0, 1.0, 24).reshape(-1, 1)
+    logp_true = -0.5 * samples[:, 0] ** 2
+    logp_emu = logp_true + rng.normal(0, 0.05, len(samples))
+    logp_emu[5] = logp_true[5] - 800.0  # exp(+800) overflows float64
+    np.save(os.path.join(outdir, "samples_im.npy"), samples)
+    np.save(os.path.join(outdir, "log_prob_samples_x.npy"), logp_emu)
+
+    priors = [{"param": "a", "dist": "flat", "arg1": -2.0, "arg2": 2.0}]
+    _importance_sampling(
+        outdir, "unused.h5", {"nimp": len(samples)}, 1, 2, "emcee",
+        _identity_theory, None, priors, np.zeros(1), np.eye(1),
+        P.prior_range(P.priors_from_list(priors)), rng,
+    )
+    _, _, w = np.load(os.path.join(outdir, "weight_im.npy"))
+    assert np.all(np.isfinite(w))
+    assert w[5] == 0.0
+    npt.assert_allclose(np.sum(w), 1.0, rtol=1e-10)
+
+
 def test_pipeline_importance_sampling_artifacts(tmp_path):
     """End-to-end: params['nimp'] triggers the post-pass and persists
     samples_im/weight_im (reference linna/main.py:297-334)."""

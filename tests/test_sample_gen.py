@@ -268,3 +268,24 @@ def test_generate_training_point_file_gated(tmp_path):
     )
     npt.assert_array_equal(np.loadtxt(D.sample_x_path(outdir, "train")), x1)
     assert os.path.getmtime(D.sample_y_path(outdir, "train")) == mtime
+
+
+def test_val_split_not_a_copy_of_train(tmp_path):
+    """The validation draw is salted: with the reference's identical
+    per-call reseed (linna/util.py:881), the chain-randomsample val set is
+    the EXACT first-nval prefix of the train draw — validating on training
+    rows.  Deliberate deviation, pinned here."""
+    outdir = str(tmp_path / "iter_1")
+    prior = np.array([[-5.0, 5.0]] * 2)
+    nn = NNSampler(outdir, prior)
+    chain = np.random.default_rng(8).normal(0, 1, size=(4000, 2))
+    generate_training_point(
+        _identity_theory, nn, None, outdir, 200, 50,
+        np.zeros(2), np.eye(2), chain=chain, options=1,
+    )
+    train = np.loadtxt(D.sample_x_path(outdir, "train"))
+    val = np.loadtxt(D.sample_x_path(outdir, "val"))
+    assert not np.array_equal(train[: len(val)], val)
+    # overlap by chance is fine; wholesale duplication is not
+    dup = sum(np.any(np.all(np.isclose(train, v), axis=1)) for v in val)
+    assert dup < len(val)

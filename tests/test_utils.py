@@ -106,7 +106,7 @@ def test_pipeline_train_subprocess_mode(tmp_path):
     from linna_tpu import ml_sampler_core
 
     outdir = str(tmp_path / "out")
-    chain, _ = ml_sampler_core(
+    chain, logp = ml_sampler_core(
         ntrainArr=[25], nvalArr=[6], nkeepArr=[1], ntimesArr=[2],
         ntautolArr=[0.5], meanshiftArr=[100], stdshiftArr=[100],
         outdir=outdir,
@@ -119,6 +119,9 @@ def test_pipeline_train_subprocess_mode(tmp_path):
         method="emcee", seed=5,
     )
     assert len(chain) > 0
+    # the returned log-probs are the SAME cut rows as the chain (the
+    # reference returned the full-chain array next to the cut chain)
+    assert len(logp) == len(chain)
     it0 = os.path.join(outdir, "iter_0")
     assert os.path.isfile(os.path.join(it0, "train_request.json"))
     assert os.path.isfile(os.path.join(it0, "finish.json"))
