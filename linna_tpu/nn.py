@@ -174,6 +174,9 @@ def apply_model(
 
     ``linearmodel`` is an optional callable pre-model added to the output
     (the reference's pluggable ``LinearModel``; see :mod:`linna_tpu.linear_model`).
+    The ``chto_v2_linear`` variant ignores it, exactly like the reference
+    (ChtoModelv2_linear.forward never calls self.linearmodel,
+    reference linna/nn.py:220-232 — only the 1e-3 bypass applies).
     """
     s = jax.nn.relu(_linear(params["layer1"], x))
     s = _resblock(params["rb1"], s)
@@ -184,7 +187,7 @@ def apply_model(
     out = _linear(params["layer8"], s)
     if spec.linear_bypass:
         out = out + 1e-3 * _linear(params["linear_bypass"], x)
-    if linearmodel is not None:
+    elif linearmodel is not None:
         out = out + linearmodel(x)
     return out
 

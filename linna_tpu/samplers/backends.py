@@ -135,8 +135,14 @@ class EmceeBackend(_SamplerStateMixin):
             ):
                 g[dsname].resize(it + n, axis=0)
                 g[dsname][it : it + n] = arr
-            g["accepted"][:] = g["accepted"][:] + accepted
+            # commit order: iteration attr BEFORE the acceptance counters.
+            # The attr bounds every read, so a crash right after it leaves a
+            # visible chunk whose acceptance delta is merely missing
+            # (bounded undercount).  The reverse order double-counts: the
+            # torn chunk is invisible, the resumed run re-appends it, and
+            # its delta lands in the cumulative counters twice — forever.
             g.attrs["iteration"] = it + n
+            g["accepted"][:] = g["accepted"][:] + accepted
 
     def get_chain(self, flat: bool = False, discard: int = 0, thin: int = 1) -> np.ndarray:
         v = self.get_value("chain", discard=discard, thin=thin)
@@ -177,17 +183,32 @@ class ZeusBackend(_SamplerStateMixin):
     def __init__(self, filename: str):
         self.filename = filename
 
+    @staticmethod
+    def _committed(f) -> int:
+        """Committed step count: the ``iteration`` root attr, written LAST
+        in append so it bounds every read past a torn multi-dataset write
+        (the same transactional trick EmceeBackend uses).  Files written
+        before the attr existed fall back to the shortest dataset — the
+        only bound that is always consistent."""
+        if "iteration" in f.attrs:
+            return int(f.attrs["iteration"])
+        return min(
+            int(f[k].shape[0])
+            for k in ("samples", "chain_transformed", "logprob")
+            if k in f
+        )
+
     @property
     def initialized(self) -> bool:
         if not os.path.isfile(self.filename):
             return False
         with h5py.File(self.filename, "r") as f:
-            return "samples" in f
+            return "samples" in f and self._committed(f) > 0
 
     @property
     def iteration(self) -> int:
         with h5py.File(self.filename, "r") as f:
-            return int(f["samples"].shape[0])
+            return self._committed(f)
 
     def append(
         self,
@@ -197,6 +218,7 @@ class ZeusBackend(_SamplerStateMixin):
     ) -> None:
         transformed = transform(chain) if transform is not None else chain
         with h5py.File(self.filename, "a") as f:
+            n0 = self._committed(f) if "samples" in f else 0
             for dsname, arr in (
                 ("samples", chain),
                 ("chain_transformed", transformed),
@@ -212,15 +234,17 @@ class ZeusBackend(_SamplerStateMixin):
                     )
                     continue
                 ds = f[dsname]
-                n0 = ds.shape[0]
+                # resize from the COMMITTED count: rows past it are a torn
+                # previous append and are overwritten, not kept
                 ds.resize(n0 + arr.shape[0], axis=0)
                 ds[n0:] = arr
+            f.attrs["iteration"] = n0 + chain.shape[0]
 
     def get_value(self, name: str, flat: bool = False, discard: int = 0, thin: int = 1):
         # slice inside h5py: a windowed read only inflates the needed gzip
         # chunks (run.py _hydrate reads just the trailing tau window)
         with h5py.File(self.filename, "r") as f:
-            v = f[name][discard + thin - 1 : f[name].shape[0] : thin]
+            v = f[name][discard + thin - 1 : self._committed(f) : thin]
         if flat:
             s = (-1,) + v.shape[2:]
             return v.reshape(s)
@@ -234,4 +258,4 @@ class ZeusBackend(_SamplerStateMixin):
 
     def get_last_sample(self) -> np.ndarray:
         with h5py.File(self.filename, "r") as f:
-            return np.copy(f["samples"][-1])
+            return np.copy(f["samples"][self._committed(f) - 1])

@@ -50,6 +50,8 @@ DIVERGENCE = 1000.0  # joint-energy drop treated as divergent (H&G eq. 8)
 class HMCState(NamedTuple):
     coords: jax.Array  # f32[W, D]
     log_prob: jax.Array  # f32[W]
+    grad: jax.Array  # f32[W, D] d(log_prob)/dx at coords (carried: saves one
+    #                  full emulator forward+backward per sample)
     key: jax.Array
     epsilon: jax.Array  # f32[W] per-walker step size
     accepted: jax.Array  # i32[W]
@@ -58,6 +60,7 @@ class HMCState(NamedTuple):
 class NUTSState(NamedTuple):
     coords: jax.Array  # f32[W, D]
     log_prob: jax.Array  # f32[W]
+    grad: jax.Array  # f32[W, D] d(log_prob)/dx at coords (carried)
     key: jax.Array
     epsilon: jax.Array  # f32[W]
     # dual averaging per walker
@@ -95,23 +98,30 @@ def _kinetic(r, inv_mass):
 
 
 def init_hmc_state(
-    key, x0, log_prob_fn, epsilon: float | None = None
+    key,
+    x0,
+    log_prob_fn,
+    epsilon: float | None = None,
+    mass: jax.Array | float = 1.0,
 ) -> HMCState:
     """``epsilon=None`` (default) runs the per-walker reasonable-epsilon
     search (H&G Alg. 4, reference linna/sampler.py:151-186) — the reference
     only did this for NUTS, leaving HMC with a fixed step that is fragile
-    without Hessian whitening."""
+    without Hessian whitening.  Pass the SAME ``mass`` that the chunks will
+    integrate with: a step size tuned against unit-mass kinetic energy is
+    wrong by ~sqrt(mass) per direction otherwise."""
     x0 = jnp.asarray(x0, jnp.float32)
-    lp = log_prob_fn(x0)
+    lp, grad = _value_and_grad_batched(log_prob_fn)(x0)
     w = x0.shape[0]
     if epsilon is None:
         key, k_eps = jax.random.split(key)
-        eps = find_reasonable_epsilon(k_eps, x0, log_prob_fn)
+        eps = find_reasonable_epsilon(k_eps, x0, log_prob_fn, mass)
     else:
         eps = jnp.full((w,), epsilon, jnp.float32)
     return HMCState(
         x0,
         lp,
+        grad,
         key,
         eps,
         jnp.zeros((w,), jnp.int32),
@@ -148,14 +158,17 @@ def hmc_chunk(
         w, d = state.coords.shape
         key, k_r, k_acc = jax.random.split(state.key, 3)
         r0 = jax.random.normal(k_r, (w, d)) * sqrt_mass
-        lp0, grad0 = vg_fn(state.coords)
+        # lp/grad at the current position ride in the state (they were the
+        # accepted lp_new/grad_new of the previous sample) — recomputing
+        # them here would waste one full emulator pass per sample
+        lp0, grad0 = state.log_prob, state.grad
 
         def lf(carry, _):
             x, r, lp, grad = carry
             x, r, lp, grad = _leapfrog(vg_fn, x, r, grad, state.epsilon, inv_mass)
             return (x, r, lp, grad), None
 
-        (x_new, r_new, lp_new, _), _ = jax.lax.scan(
+        (x_new, r_new, lp_new, grad_new), _ = jax.lax.scan(
             lf, (state.coords, r0, lp0, grad0), None, length=n_leapfrog
         )
         log_accept = (lp_new - _kinetic(r_new, inv_mass)) - (
@@ -164,8 +177,10 @@ def hmc_chunk(
         accept = jnp.log(jax.random.uniform(k_acc, (w,))) < log_accept
         coords = jnp.where(accept[:, None], x_new, state.coords)
         lp = jnp.where(accept, lp_new, state.log_prob)
+        grad = jnp.where(accept[:, None], grad_new, state.grad)
         new_state = HMCState(
-            coords, lp, key, state.epsilon, state.accepted + accept.astype(jnp.int32)
+            coords, lp, grad, key, state.epsilon,
+            state.accepted + accept.astype(jnp.int32),
         )
         return new_state, (coords, lp)
 
@@ -230,7 +245,7 @@ def _build_tree(vg1, z, r, grad, lp, v, depth, eps, joint0, log_slice, key, inv_
     (``depth`` is a Python int).  Single-walker; vmapped by the caller.
 
     Returns (z_minus, r_minus, grad_minus, z_plus, r_plus, grad_plus,
-    z_prop, lp_prop, n_valid, s_continue, alpha_sum, n_alpha).
+    z_prop, lp_prop, grad_prop, n_valid, s_continue, alpha_sum, n_alpha).
     """
     if depth == 0:
         # one leapfrog in direction v
@@ -247,11 +262,11 @@ def _build_tree(vg1, z, r, grad, lp, v, depth, eps, joint0, log_slice, key, inv_
         return (
             z_new, r_new, grad_new,
             z_new, r_new, grad_new,
-            z_new, lp_new, n_valid, s_cont, alpha, jnp.asarray(1.0),
+            z_new, lp_new, grad_new, n_valid, s_cont, alpha, jnp.asarray(1.0),
         )
 
     k1, k2, k_pick = jax.random.split(key, 3)
-    (zm, rm, gm, zp, rp, gp, zprop, lpprop, n1, s1, a1, na1) = _build_tree(
+    (zm, rm, gm, zp, rp, gp, zprop, lpprop, gprop, n1, s1, a1, na1) = _build_tree(
         vg1, z, r, grad, lp, v, depth - 1, eps, joint0, log_slice, k1, inv_mass
     )
     # second half, started from the appropriate edge; computed unconditionally
@@ -259,7 +274,9 @@ def _build_tree(vg1, z, r, grad, lp, v, depth, eps, joint0, log_slice, key, inv_
     edge_z = jnp.where(v > 0, zp, zm)
     edge_r = jnp.where(v > 0, rp, rm)
     edge_g = jnp.where(v > 0, gp, gm)
-    (zm2, rm2, gm2, zp2, rp2, gp2, zprop2, lpprop2, n2, s2, a2, na2) = _build_tree(
+    (
+        zm2, rm2, gm2, zp2, rp2, gp2, zprop2, lpprop2, gprop2, n2, s2, a2, na2
+    ) = _build_tree(
         vg1, edge_z, edge_r, edge_g, lp, v, depth - 1, eps, joint0, log_slice, k2,
         inv_mass,
     )
@@ -274,6 +291,7 @@ def _build_tree(vg1, z, r, grad, lp, v, depth, eps, joint0, log_slice, key, inv_
     take2 = jax.random.uniform(k_pick) < n2 / jnp.maximum(n1 + n2, 1e-30)
     zprop = jnp.where(jnp.logical_and(s1, take2), zprop2, zprop)
     lpprop = jnp.where(jnp.logical_and(s1, take2), lpprop2, lpprop)
+    gprop = jnp.where(jnp.logical_and(s1, take2), gprop2, gprop)
 
     dz = zp - zm
     no_uturn = jnp.logical_and(
@@ -282,12 +300,14 @@ def _build_tree(vg1, z, r, grad, lp, v, depth, eps, joint0, log_slice, key, inv_
     s_out = jnp.logical_and(s1, jnp.logical_and(s2, no_uturn))
     a_sum = a1 + jnp.where(s1, a2, 0.0)
     na_sum = na1 + jnp.where(s1, na2, 0.0)
-    return zm, rm, gm, zp, rp, gp, zprop, lpprop, n1 + n2, s_out, a_sum, na_sum
+    return zm, rm, gm, zp, rp, gp, zprop, lpprop, gprop, n1 + n2, s_out, a_sum, na_sum
 
 
-def _nuts_single(vg1, max_depth, key, x, lp, eps, inv_mass, sqrt_mass):
+def _nuts_single(vg1, max_depth, key, x, lp, grad, eps, inv_mass, sqrt_mass):
     """One NUTS sample for one walker (H&G Alg. 3 outer doubling loop,
-    reference linna/sampler.py:276-307).  Returns (x', lp', alpha, n_alpha)."""
+    reference linna/sampler.py:276-307).  ``grad`` is the carried gradient at
+    ``x`` (saves one emulator pass per sample).  Returns
+    (x', lp', grad', alpha, n_alpha)."""
     d = x.shape[-1]
     k_r, k_slice, key = jax.random.split(key, 3)
     r0 = jax.random.normal(k_r, (d,)) * sqrt_mass
@@ -295,12 +315,9 @@ def _nuts_single(vg1, max_depth, key, x, lp, eps, inv_mass, sqrt_mass):
     # log of the slice variable u ~ U(0, exp(joint0)): log u = joint0 + log U
     log_slice = joint0 + jnp.log(jax.random.uniform(k_slice))
 
-    zm, rm, gm = x, r0, None
-    zp, rp, gp = x, r0, None
-    _, grad0 = vg1(x)
-    gm = grad0
-    gp = grad0
-    zprop, lpprop = x, lp
+    zm, rm, gm = x, r0, grad
+    zp, rp, gp = x, r0, grad
+    zprop, lpprop, gprop = x, lp, grad
     n_total = jnp.asarray(1.0)
     s = jnp.asarray(True)
     alpha_sum = jnp.asarray(0.0)
@@ -312,7 +329,9 @@ def _nuts_single(vg1, max_depth, key, x, lp, eps, inv_mass, sqrt_mass):
         edge_z = jnp.where(v > 0, zp, zm)
         edge_r = jnp.where(v > 0, rp, rm)
         edge_g = jnp.where(v > 0, gp, gm)
-        (zm2, rm2, gm2, zp2, rp2, gp2, zprop2, lpprop2, n2, s2, a2, na2) = _build_tree(
+        (
+            zm2, rm2, gm2, zp2, rp2, gp2, zprop2, lpprop2, gprop2, n2, s2, a2, na2
+        ) = _build_tree(
             vg1, edge_z, edge_r, edge_g, lp, v, depth, eps, joint0, log_slice,
             k_tree, inv_mass,
         )
@@ -331,6 +350,7 @@ def _nuts_single(vg1, max_depth, key, x, lp, eps, inv_mass, sqrt_mass):
         )
         zprop = jnp.where(take, zprop2, zprop)
         lpprop = jnp.where(take, lpprop2, lpprop)
+        gprop = jnp.where(take, gprop2, gprop)
 
         alpha_sum = alpha_sum + jnp.where(upd, a2, 0.0)
         n_alpha = n_alpha + jnp.where(upd, na2, 0.0)
@@ -344,7 +364,7 @@ def _nuts_single(vg1, max_depth, key, x, lp, eps, inv_mass, sqrt_mass):
         s = jnp.logical_and(upd, jnp.logical_and(s2, no_uturn))
 
     alpha = alpha_sum / jnp.maximum(n_alpha, 1.0)
-    return zprop, lpprop, alpha, jnp.maximum(n_alpha, 1.0)
+    return zprop, lpprop, gprop, alpha, jnp.maximum(n_alpha, 1.0)
 
 
 def init_nuts_state(
@@ -356,13 +376,14 @@ def init_nuts_state(
 ) -> NUTSState:
     """Initialize, including per-walker reasonable-epsilon search."""
     x0 = jnp.asarray(x0, jnp.float32)
-    lp = log_prob_fn(x0)
+    lp, grad = _value_and_grad_batched(log_prob_fn)(x0)
     key, k_eps = jax.random.split(key)
     eps = find_reasonable_epsilon(k_eps, x0, log_prob_fn, mass)
     w = x0.shape[0]
     return NUTSState(
         x0,
         lp,
+        grad,
         key,
         eps,
         jnp.log(10.0 * eps),
@@ -399,8 +420,8 @@ def nuts_chunk(
     sqrt_mass = jnp.sqrt(mass_v)
 
     sample_w = jax.vmap(
-        lambda key, x, lp, eps: _nuts_single(
-            vg1, max_depth, key, x, lp, eps, inv_mass, sqrt_mass
+        lambda key, x, lp, grad, eps: _nuts_single(
+            vg1, max_depth, key, x, lp, grad, eps, inv_mass, sqrt_mass
         )
     )
 
@@ -408,8 +429,8 @@ def nuts_chunk(
         w = state.coords.shape[0]
         key, k_s = jax.random.split(state.key)
         keys = jax.random.split(k_s, w)
-        x_new, lp_new, alpha, n_alpha = sample_w(
-            keys, state.coords, state.log_prob, state.epsilon
+        x_new, lp_new, grad_new, alpha, n_alpha = sample_w(
+            keys, state.coords, state.log_prob, state.grad, state.epsilon
         )
         # dual averaging (reference linna/sampler.py:228-240)
         adapting = state.m_adapt > 0
@@ -432,6 +453,7 @@ def nuts_chunk(
         new_state = NUTSState(
             x_new,
             lp_new,
+            grad_new,
             key,
             epsilon,
             state.mu,

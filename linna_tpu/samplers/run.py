@@ -131,6 +131,16 @@ def run_ensemble(
     os.makedirs(outdir, exist_ok=True)
     x0 = np.asarray(x0, dtype=np.float32)
     nwalkers, ndim = x0.shape
+    if method == "zeus" and nwalkers < 4:
+        # the differential slice direction needs two DISTINCT walkers from
+        # the complementary half; with a 1-walker complement the direction
+        # is exactly zero and those walkers silently never move (while the
+        # stepping-out loop burns max_steps batched evals per step)
+        raise ValueError(
+            f"method='zeus' needs nwalkers >= 4 (got {nwalkers}): the "
+            "differential slice move draws two distinct walkers from the "
+            "complementary half-ensemble"
+        )
     key = jax.random.key(seed)
     tfn = _np_transform(transform)
 
@@ -182,6 +192,34 @@ def run_ensemble(
     # vs statistical dispatch different sharded programs — a pod hang) no
     # matter how stale a non-primary's shared-filesystem view is.
     state_blob = MH.broadcast_from_primary(backend.load_state) if resume else None
+    if state_blob is not None:
+        # emcee/hmc/nuts share one chain file, so a blob written by a
+        # different method can be lying in wait: restoring it would either
+        # KeyError on a missing field or — worse, hmc<->nuts whose field
+        # names overlap — silently misinterpret step sizes and counters.
+        saved_method = state_blob.get("_method")
+        blob_fields = {k for k in state_blob if not k.startswith("_")}
+        want_fields = set(_STATE_CLS[method]._fields)
+        if (
+            saved_method is not None
+            and np.asarray(saved_method).item() != method.encode()
+        ):
+            warnings.warn(
+                f"sampler_state was written by method "
+                f"{np.asarray(saved_method).item().decode()!r}; resuming "
+                f"{method!r} statistically from the chain positions",
+                stacklevel=2,
+            )
+            state_blob = None
+        elif blob_fields != want_fields:
+            # pre-method-tag blob whose fields don't exactly match this
+            # method's state class (same cross-method hazard, legacy files)
+            warnings.warn(
+                "sampler_state fields do not match the requested method's "
+                "state; resuming statistically from the chain positions",
+                stacklevel=2,
+            )
+            state_blob = None
 
     precond = None
     if method in GRADIENT_METHODS:
@@ -386,6 +424,7 @@ def run_ensemble(
         # fetch inside _state_to_blob is a collective — all hosts call this;
         # only the primary writes the sampler_state group
         blob = _state_to_blob(state)
+        blob["_method"] = np.bytes_(method)
         blob["_iteration"] = np.asarray(int(iteration))
         blob["_old_tau"] = np.atleast_1d(np.asarray(old_tau, np.float64))
         blob["_n_chunks_done"] = np.asarray(n_chunks_done)

@@ -133,6 +133,60 @@ def test_backend_append_and_read(tmp_path, cls, fname):
     assert flat.shape == (80, 2)
 
 
+def test_zeus_backend_torn_append_is_bounded(tmp_path):
+    """A crash between the zeus backend's three dataset appends must not
+    leave misaligned reads: the ``iteration`` attr (committed last) bounds
+    every read and the next append overwrites the torn rows."""
+    import h5py
+
+    path = str(tmp_path / "z.h5")
+    b = backends.ZeusBackend(path)
+    rng = np.random.default_rng(0)
+    chain = rng.normal(size=(10, 4, 2))
+    lp = rng.normal(size=(10, 4))
+    b.append(chain, lp)
+    # simulate a torn append: samples grew, logprob and the attr did not
+    with h5py.File(path, "a") as f:
+        f["samples"].resize(15, axis=0)
+        f["samples"][10:] = 999.0
+    assert b.iteration == 10
+    assert b.get_chain().shape == (10, 4, 2)
+    npt.assert_allclose(b.get_last_sample(), chain[-1])
+    # the next append overwrites the torn rows, not appends after them
+    chain2 = rng.normal(size=(5, 4, 2))
+    b.append(chain2, rng.normal(size=(5, 4)))
+    assert b.iteration == 15
+    npt.assert_allclose(b.get_chain()[10:], chain2)
+    assert not np.any(b.get_chain() == 999.0)
+
+
+def test_zeus_requires_four_walkers(tmp_path):
+    lp = _gauss_logprob(MEAN, STD)
+    x0 = np.zeros((3, 2), np.float32)
+    with pytest.raises(ValueError, match="nwalkers >= 4"):
+        run.run_ensemble(lp, x0, str(tmp_path), method="zeus")
+
+
+def test_cross_method_resume_falls_back_statistically(tmp_path):
+    """emcee/hmc/nuts share one chain file; a state blob written by another
+    method must be discarded (statistical resume from the chain positions),
+    not restored into the wrong state class."""
+    lp = _gauss_logprob(MEAN, STD)
+    x0 = (np.random.default_rng(6).normal(size=(8, 2)) * 0.1 + MEAN).astype(
+        np.float32
+    )
+    kw = dict(ntimes=1, tautol=1e9, meanshift=1e9, stdshift=1e9, nk=1,
+              check_every=20, seed=11, shard_walkers=False,
+              convergence_check=False)
+    b = run.run_ensemble(lp, x0, str(tmp_path), method="emcee",
+                         max_iterations=20, **kw)
+    n1 = b.iteration
+    with pytest.warns(UserWarning, match="written by method 'emcee'"):
+        b2 = run.run_ensemble(lp, x0, str(tmp_path), method="nuts",
+                              max_iterations=40, **kw)
+    assert b2.iteration == n1 + 20
+
+
 @pytest.mark.parametrize("method", ["emcee", "zeus"])
 def test_run_ensemble_converges_and_resumes(tmp_path, method):
     lp = _gauss_logprob(MEAN, STD)
