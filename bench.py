@@ -2,7 +2,7 @@
 
 Measures full ensemble-sampler walker updates (stretch move: proposal +
 batched ChtoModelv2 forward + chi^2 + prior + accept) per second on a
-DES-Y1-3x2pt-shaped problem (27 params, 457-point data vector, 1024 walkers),
+DES-Y1-3x2pt-shaped problem (27 params, 457-point data vector, WALKERS=4096),
 then compares against the reference's architecture on the same hardware
 class: one emulator likelihood at a time through a torch CPU forward
 (reference linna/util.py:990 ``Log_prob`` called per walker per move via the
@@ -147,7 +147,8 @@ def bench_reference_style(max_evals: int = 300, max_seconds: float = 30.0) -> fl
             s = torch.relu(self.l7(s))
             return self.l8(s)
 
-    torch.set_num_threads(max(1, torch.get_num_threads()))
+    # thread pinning happens once in pinned_baseline() (4 threads, best of
+    # 3, quiet host) — the methodology recorded in reference_baseline.json
     model = Model().eval()
     try:
         model = torch.jit.optimize_for_inference(

@@ -100,10 +100,15 @@ def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP
     phases = {}
     trace_path = os.path.join(OUTDIR, "trace.json")
     if os.path.isfile(trace_path):
-        with open(trace_path) as f:
-            for rec in json.load(f):
-                key = rec["phase"]
-                phases[key] = phases.get(key, 0.0) + rec["seconds"]
+        try:
+            with open(trace_path) as f:
+                for rec in json.load(f):
+                    key = rec["phase"]
+                    phases[key] = phases.get(key, 0.0) + rec.get("seconds", 0.0)
+        except (OSError, ValueError):
+            # a torn trace file must not kill the run AFTER the multi-hour
+            # pipeline finished — the breakdown is diagnostic, not load-bearing
+            phases = {"_corrupt_trace": 1.0}
 
     # convergence of the final chain (walker-resolved); the backend file
     # follows the final iteration's sampler (methodArr override supported)

@@ -119,6 +119,8 @@ def make_log_prob(
         and loglike_fn is None
         and external_loglike is None
         and linearmodel is None
+        # the fused trunk has no 1e-3 linear bypass (chto_v2_linear)
+        and not spec.linear_bypass
     ):
         from .ops import fused
 

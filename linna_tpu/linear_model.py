@@ -59,8 +59,13 @@ class LinearModel(NamedTuple):
         if one:
             x = x[None, :]
         xn = (x - self.xmean) / self.xstd
-        # monomial features: prod(x**power) per power row
-        feats = jnp.prod(xn[:, None, :] ** self.powers[None, :, :], axis=-1)
+        # monomial features: prod(x**power) per power row.  For power==0
+        # lanes the base is replaced by 1 BEFORE the power: d/dx of x**0 via
+        # the power rule is 0 * x**(-1), which autodiffs to NaN exactly at
+        # xn == 0 (an input equal to a training mean) and would poison
+        # HMC/NUTS gradients through the whole composed model.
+        base = jnp.where(self.powers[None, :, :] == 0, 1.0, xn[:, None, :])
+        feats = jnp.prod(base ** self.powers[None, :, :], axis=-1)
         pc = feats @ self.coef  # (B, npc)
         out = pc @ self.vec * self.ystd + self.ymean
         return out[0] if one else out

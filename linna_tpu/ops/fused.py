@@ -170,6 +170,11 @@ _fused_apply.defvjp(_fused_apply_fwd, _fused_apply_bwd)
 def fused_apply(spec: N.ModelSpec, params, x, interpret: bool = False):
     """Drop-in for :func:`linna_tpu.nn.apply_model` (no linearmodel) running
     the whole stack as one Pallas kernel."""
+    if spec.linear_bypass:
+        raise ValueError(
+            "fused kernels do not implement chto_v2_linear's 1e-3 linear "
+            "bypass; use nn.apply_model (the XLA path) for that spec"
+        )
     return _fused_apply(spec, params, x, interpret)
 
 
@@ -191,9 +196,10 @@ def _log_prob_impl(
     xp, b = _pad_batch(x, TILE_B)
     n_tiles = xp.shape[0] // TILE_B
     sqrt2 = np.sqrt(2.0).astype(np.float32)
+    inv_t = jnp.asarray(inv_temperature, jnp.float32).reshape(1, 1)
 
     def kernel(x_ref, is_gauss_ref, a1_ref, a2_ref, xm_ref, xs_ref, xl_ref,
-               ym_ref, ys_ref, sg_ref, data_ref, ic_ref, *refs):
+               ym_ref, ys_ref, sg_ref, data_ref, ic_ref, it_ref, *refs):
         w = [r[:] for r in refs[:_N_WEIGHTS]]
         out_ref = refs[_N_WEIGHTS]
         xw = x_ref[:]  # (TILE_B, D) whitened params
@@ -204,9 +210,17 @@ def _log_prob_impl(
         gauss_val = xw * a2_ref[:] + a1_ref[:]
         x_phys = jnp.where(is_gauss_ref[:] != 0, gauss_val, flat_val)
 
-        # input standardization with optional log10
+        # input standardization with optional log10.  The clamp keeps the
+        # kernel's arithmetic finite; reference semantics (log10(x<=0) = NaN
+        # -> lp = -inf, the proposal is rejected) are restored by the
+        # bad-row mask below.
+        log10_lane = xl_ref[:] != 0
+        bad = jnp.sum(
+            jnp.where(jnp.logical_and(log10_lane, x_phys <= 0.0), 1.0, 0.0),
+            axis=-1, keepdims=True,
+        ) > 0.0
         x_in = jnp.where(
-            xl_ref[:] != 0,
+            log10_lane,
             jnp.log(jnp.maximum(x_phys, 1e-30)) * np.float32(1.0 / np.log(10.0)),
             x_phys,
         )
@@ -225,13 +239,14 @@ def _log_prob_impl(
             axis=-1, keepdims=True,
         )
         lnprior = -0.5 * jnp.sum(xw * xw, axis=-1, keepdims=True)
-        lp = -0.5 * chi2 * inv_temperature + lnprior
-        out_ref[:] = jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+        lp = -0.5 * chi2 * it_ref[:] + lnprior
+        lp = jnp.where(jnp.logical_or(jnp.isnan(lp), bad), -jnp.inf, lp)
+        out_ref[:] = lp
 
     row = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                  memory_space=pltpu.VMEM)
     fixed = [is_gauss, p_arg1, p_arg2, xt_mean, xt_std, xt_log10,
-             yt_mean, yt_std, sigma, data, inv_cov]
+             yt_mean, yt_std, sigma, data, inv_cov, inv_t]
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -260,53 +275,70 @@ def fused_log_prob(
     """Build the fully fused batched log-posterior (W, D) -> (W,).
 
     Semantics match :func:`linna_tpu.likelihood.make_log_prob` with the
-    default Gaussian likelihood and no external terms; gradients fall back
-    to XLA autodiff of the reference composition (exact, recomputed).
+    default Gaussian likelihood and no external terms — including
+    log10(x<=0) -> lp = -inf.  Gradients come from XLA autodiff of the
+    non-fused reference composition (exact, recomputed in backward), for
+    BOTH the walkers and the env — so the returned callable carries the same
+    ``_pure``/``_env`` decomposition as ``make_log_prob`` and the samplers'
+    compiled chunk programs stay weight-independent (no per-iteration
+    recompiles; see samplers/run.py _lp_split).
     """
+    if spec.linear_bypass:
+        raise ValueError(
+            "fused_log_prob does not implement chto_v2_linear's 1e-3 linear "
+            "bypass; use make_log_prob's XLA path for that spec"
+        )
     from .. import likelihood as LK
-
-    prior_args = (
-        jnp.asarray(prior_pack.is_gauss, jnp.int32).reshape(1, -1),
-        jnp.asarray(prior_pack.arg1, jnp.float32).reshape(1, -1),
-        jnp.asarray(prior_pack.arg2, jnp.float32).reshape(1, -1),
-    )
-    xt = transforms.x_transform
-    xt_args = (
-        jnp.asarray(xt.mean, jnp.float32).reshape(1, -1),
-        jnp.asarray(xt.std, jnp.float32).reshape(1, -1),
-        jnp.asarray(xt.log10_mask, jnp.int32).reshape(1, -1),
-    )
-    yt = transforms.y_transform
-    yt_args = (
-        jnp.asarray(yt.mean, jnp.float32).reshape(1, -1),
-        jnp.asarray(yt.std, jnp.float32).reshape(1, -1),
-        jnp.asarray(transforms.y_data.sigma, jnp.float32).reshape(1, -1),
-    )
-    data_j = jnp.asarray(data, jnp.float32).reshape(1, -1)
-    inv_cov_j = jnp.asarray(inv_cov, jnp.float32)
-    inv_t = np.float32(1.0 / float(temperature))
-    ypositive = bool(yt.ypositive)
 
     reference = LK.make_log_prob(
         spec, params, transforms, prior_pack, np.asarray(data),
         np.asarray(inv_cov), temperature=temperature,
     )
+    ref_pure, env = reference._pure, reference._env
+    ypositive = bool(transforms.y_transform.ypositive)
 
     @jax.custom_vjp
-    def lp(x):
+    def lp_pure(x, env):
+        tset = env["transforms"]
+        pk = env["priors"]
+        prior_args = (
+            jnp.asarray(pk.is_gauss, jnp.int32).reshape(1, -1),
+            jnp.asarray(pk.arg1, jnp.float32).reshape(1, -1),
+            jnp.asarray(pk.arg2, jnp.float32).reshape(1, -1),
+        )
+        xt = tset.x_transform
+        xt_args = (
+            jnp.asarray(xt.mean, jnp.float32).reshape(1, -1),
+            jnp.asarray(xt.std, jnp.float32).reshape(1, -1),
+            jnp.asarray(xt.log10_mask, jnp.int32).reshape(1, -1),
+        )
+        yt = tset.y_transform
+        yt_args = (
+            jnp.asarray(yt.mean, jnp.float32).reshape(1, -1),
+            jnp.asarray(yt.std, jnp.float32).reshape(1, -1),
+            jnp.asarray(tset.y_data.sigma, jnp.float32).reshape(1, -1),
+        )
         return _log_prob_impl(
-            spec, params, x,
+            spec, env["params"], x,
             prior_args=prior_args, xt_args=xt_args, yt_args=yt_args,
-            data=data_j, inv_cov=inv_cov_j, inv_temperature=inv_t,
+            data=env["data"].reshape(1, -1), inv_cov=env["inv_cov"],
+            inv_temperature=1.0 / env["temperature"],
             ypositive=ypositive, interpret=interpret,
         )
 
-    def lp_fwd(x):
-        return lp(x), x
+    def lp_fwd(x, env):
+        return lp_pure(x, env), (x, env)
 
-    def lp_bwd(x, g):
-        _, vjp = jax.vjp(reference, x)
+    def lp_bwd(res, g):
+        x, env = res
+        _, vjp = jax.vjp(ref_pure, x, env)
         return vjp(g)
 
-    lp.defvjp(lp_fwd, lp_bwd)
-    return lp
+    lp_pure.defvjp(lp_fwd, lp_bwd)
+
+    def log_prob(x):
+        return lp_pure(x, env)
+
+    log_prob._pure = lp_pure
+    log_prob._env = env
+    return log_prob

@@ -54,7 +54,13 @@ def write_request(
         json.dump(
             {
                 "outdir_list": list(outdir_list),
-                "dolog10index": list(dolog10index) if dolog10index else None,
+                # `is not None`, not truthiness: a numpy index array raises
+                # on bool() and an empty list must stay an explicit []
+                "dolog10index": (
+                    [int(i) for i in dolog10index]
+                    if dolog10index is not None
+                    else None
+                ),
                 "ypositive": bool(ypositive),
                 "model_name": model_name,
                 "params": clean,

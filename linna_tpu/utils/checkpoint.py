@@ -56,7 +56,12 @@ def _unflatten_like(tree: Any, arrays: Dict[str, np.ndarray], prefix: str) -> An
                 f"checkpoint leaf {key!r} shape {arr.shape} != expected "
                 f"{np.shape(old_leaf)}"
             )
-        new_leaves.append(jax.numpy.asarray(arr, dtype=np.asarray(old_leaf).dtype))
+        # read the dtype from the attribute: np.asarray(old_leaf) would pull
+        # every template leaf to the host (a blocking device->host copy per
+        # leaf — the exact cost _flatten documents avoiding on save — and a
+        # RuntimeError for non-fully-addressable pod-sharded leaves)
+        dtype = getattr(old_leaf, "dtype", None) or np.asarray(old_leaf).dtype
+        new_leaves.append(jax.numpy.asarray(arr, dtype=dtype))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 

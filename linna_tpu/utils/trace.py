@@ -29,6 +29,19 @@ class PhaseTimer:
     def __init__(self, outdir: Optional[str] = None):
         self.outdir = outdir
         self.records: List[Dict] = []
+        # prior-run history is read ONCE here (not re-read per flush, which
+        # was O(n^2) in run length); a truncated file from a mid-write kill
+        # is dropped with its corruption noted rather than crashing the
+        # resumed pipeline
+        self._history: List[Dict] = []
+        if outdir is not None:
+            path = os.path.join(outdir, TRACE_FILE)
+            try:
+                if os.path.isfile(path):
+                    with open(path) as f:
+                        self._history = json.load(f)
+            except (OSError, ValueError):
+                self._history = [{"phase": "_corrupt_trace_dropped"}]
 
     @contextlib.contextmanager
     def phase(self, name: str, **meta) -> Iterator[None]:
@@ -39,21 +52,18 @@ class PhaseTimer:
             rec = {"phase": name, "seconds": time.perf_counter() - t0,
                    "t_end": time.time(), **meta}
             self.records.append(rec)
-            self._flush(rec)
+            self._flush()
 
-    def _flush(self, rec: Dict) -> None:
+    def _flush(self) -> None:
         if self.outdir is None:
             return
         try:
             os.makedirs(self.outdir, exist_ok=True)
             path = os.path.join(self.outdir, TRACE_FILE)
-            existing = []
-            if os.path.isfile(path):
-                with open(path) as f:
-                    existing = json.load(f)
-            existing.append(rec)
-            with open(path, "w") as f:
-                json.dump(existing, f, indent=1)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self._history + self.records, f, indent=1)
+            os.replace(tmp, path)  # atomic: a kill mid-dump never tears it
         except OSError:
             pass
 

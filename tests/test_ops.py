@@ -93,6 +93,75 @@ def test_fused_log_prob_gradient_matches():
     np.testing.assert_allclose(g_fused, g_ref, rtol=1e-4, atol=1e-5)
 
 
+def test_fused_log_prob_exposes_env_decomposition():
+    """use_fused must not defeat the sampler's compile-cache design: the
+    fused callable carries the same _pure/_env split as make_log_prob, so
+    run.py threads the trained weights through the jitted chunks as traced
+    arguments instead of baking them into the HLO."""
+    spec, params, transforms, pack, data, inv_cov = _problem(ndim=3, ndata=6)
+    lp = fused_log_prob(
+        spec, params, transforms, pack, data, inv_cov, interpret=True
+    )
+    assert hasattr(lp, "_pure") and hasattr(lp, "_env")
+    x = jax.random.normal(jax.random.key(12), (8, 3))
+    np.testing.assert_allclose(
+        np.asarray(lp._pure(x, lp._env)), np.asarray(lp(x)), rtol=1e-6
+    )
+    # gradients flow through the (x, env) form — the one the samplers use
+    g = jax.grad(lambda xx: jnp.sum(lp._pure(xx, lp._env)))(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_fused_log_prob_log10_rejects_nonpositive():
+    """Reference semantics: log10 of a non-positive physical value is NaN ->
+    lp = -inf (rejected proposal).  The fused kernel clamps for arithmetic
+    safety but must still return -inf, not finite garbage."""
+    spec, params, transforms, pack, data, inv_cov = _problem(ndim=5, ndata=33)
+    xt = transforms.x_transform._replace(
+        log10_mask=jnp.asarray([True] + [False] * 4)
+    )
+    transforms = transforms._replace(x_transform=xt)
+    lp_ref = LK.make_log_prob(spec, params, transforms, pack, data, inv_cov)
+    lp_fused = fused_log_prob(
+        spec, params, transforms, pack, data, inv_cov, interpret=True
+    )
+    # param 0 has a gauss prior (mean 0.2, sig 1.1): whitened -3 -> physical
+    # -3.1 < 0 on the log10 lane
+    x = np.zeros((4, 5), np.float32)
+    x[1, 0] = -3.0
+    x[3, 0] = -5.0
+    ref = np.asarray(lp_ref(jnp.asarray(x)))
+    got = np.asarray(lp_fused(jnp.asarray(x)))
+    assert ref[1] == -np.inf and ref[3] == -np.inf
+    np.testing.assert_array_equal(got[[1, 3]], [-np.inf, -np.inf])
+    np.testing.assert_allclose(got[[0, 2]], ref[[0, 2]], rtol=2e-4, atol=2e-4)
+
+
+def test_fused_rejects_linear_bypass_spec():
+    import pytest
+
+    spec, params, transforms, pack, data, inv_cov = _problem(ndim=3, ndata=6)
+    spec_lin = N.make_model_spec("chto_v2_linear", 3, 6)
+    params_lin = N.init_model(jax.random.key(0), spec_lin)
+    with pytest.raises(ValueError, match="bypass"):
+        fused_apply(spec_lin, params_lin, jnp.zeros((4, 3)), interpret=True)
+    with pytest.raises(ValueError, match="bypass"):
+        fused_log_prob(
+            spec_lin, params_lin, transforms, pack, data, inv_cov,
+            interpret=True,
+        )
+    # and make_log_prob must not route such a spec to the fused path
+    lp = LK.make_log_prob(
+        spec_lin, params_lin, transforms, pack, data, inv_cov, use_fused=True
+    )
+    want = np.asarray(
+        LK.make_log_prob(spec_lin, params_lin, transforms, pack, data, inv_cov)(
+            jnp.zeros((2, 3))
+        )
+    )
+    np.testing.assert_allclose(np.asarray(lp(jnp.zeros((2, 3)))), want, rtol=1e-6)
+
+
 def test_fused_log_prob_ypositive():
     spec, params, transforms, pack, data, inv_cov = _problem(ndim=3, ndata=6)
     yt = transforms.y_transform._replace(

@@ -59,6 +59,19 @@ def test_phase_timer_persists_and_accumulates(tmp_path):
     assert len(json.loads((tmp_path / "trace.json").read_text())) == 4
 
 
+def test_phase_timer_survives_corrupt_trace(tmp_path):
+    """A trace.json truncated by a mid-write kill must not crash the
+    resumed pipeline: the corrupt history is dropped (with a marker) and
+    tracing continues."""
+    (tmp_path / "trace.json").write_text('[{"phase": "train", "seco')
+    t = PhaseTimer(str(tmp_path))
+    with t.phase("mcmc"):
+        pass
+    trace = json.loads((tmp_path / "trace.json").read_text())
+    assert trace[-1]["phase"] == "mcmc"
+    assert any(r["phase"] == "_corrupt_trace_dropped" for r in trace)
+
+
 def test_device_profile_noop_without_env(monkeypatch):
     monkeypatch.delenv("LINNA_PROFILE", raising=False)
     with device_profile("x"):
