@@ -96,11 +96,11 @@ def main(n_steps: int = N_STEPS, seed: int = 7) -> dict:
         OUTDIR,
         method="nuts",
         transform=lambda c: np.asarray(PR.transform(pack, c)),
-        # force a fixed high-ESS length: unreachable tolerances + a hard cap
-        ntimes=1e9,
-        tautol=1e-12,
-        meanshift=1e-12,
-        stdshift=1e-12,
+        # fixed high-ESS length: run exactly n_steps with no convergence
+        # machinery at all (the documented contract of
+        # convergence_check=False) — no per-check tau FFTs, and no reliance
+        # on sentinel tolerances staying unreachable
+        convergence_check=False,
         max_iterations=n_steps,
         check_every=250,
         seed=seed,

@@ -78,6 +78,14 @@ def bench_trainer(jax, k: int, tmpdir: str) -> dict:
     spec, tset, loss_state, tx, ty, vx, vy = _problem(jax)
     seeds = [100 + i for i in range(k)]
 
+    # isolate device compute: the per-train() matplotlib render is a
+    # ~0.5-1 s host constant identical in both variants — at EPOCHS=40 of a
+    # tiny model it would dominate and bias the mesh/serial ratio toward 1
+    from linna_tpu.utils import plots as _plots
+
+    _plots.plot_training_progress = lambda *a, **k: None
+    _plots.plot_lr_range = lambda *a, **k: None
+
     def run_mesh() -> float:
         dirs = [os.path.join(tmpdir, f"mesh{k}_{m}") for m in range(k)]
         tr = EnsembleTrainer(spec, tset, loss_state, dirs, seeds)

@@ -54,6 +54,16 @@ def main():
     loss_state = L.build_loss_state(np.zeros(NDATA), np.eye(NDATA), tset)
     spec = N.make_model_spec("chto_v2", NDIM, NDATA)
 
+    # isolate device compute: the matplotlib training-progress render at the
+    # end of every train() call costs ~0.5-1 s of host time — at tens of
+    # epochs that is up to ~10% of the timed region and identical across
+    # cases, biasing every ratio toward 1.  (The tiny end-of-train npz
+    # checkpoint writes remain; they are symmetric and ~ms.)
+    from linna_tpu.utils import plots as _plots
+
+    _plots.plot_training_progress = lambda *a, **k: None
+    _plots.plot_lr_range = lambda *a, **k: None
+
     def run(k: int, compute_dtype, batch: int) -> float:
         with tempfile.TemporaryDirectory() as td:
             tr = EnsembleTrainer(

@@ -100,11 +100,17 @@ def cov_triplet_rows(sigma: np.ndarray) -> np.ndarray:
     return np.asarray(rows)
 
 
-def make_theory(params: dict):
-    def theory(x, outdirs):
+class _Theory:
+    """Module-level callable: the pool layer pickles theory callables to ship
+    them to multiprocess/MPI workers (a nested closure is unpicklable and
+    would crash the fan-out)."""
+
+    def __call__(self, x, outdirs):
         return data_vector(x[1])
 
-    return theory
+
+def make_theory(params: dict):
+    return _Theory()
 
 
 def fiducial() -> np.ndarray:

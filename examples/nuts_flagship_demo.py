@@ -69,8 +69,12 @@ def main():
     t_pre = time.time() - t0
 
     state = hmc.init_nuts_state(jax.random.key(1), jnp.asarray(x0_pre), lp_pre, m_adapt=100)
-    state, chain, _ = hmc.nuts_chunk(lp_pre, state, 50, 5)  # adapt + compile
+    # warm up past ALL m_adapt dual-averaging steps (plus compile) so the
+    # timed region and the tau estimate see only post-adaptation samples —
+    # an adapting prefix is nonstationary and inflates tau / deflates ESS/s
+    state, chain, _ = hmc.nuts_chunk(lp_pre, state, 100, 5)
     jax.block_until_ready(chain)
+    assert int(state.m_adapt) == 0, "timing must start after adaptation"
     t0 = time.time()
     state, chain, _ = hmc.nuts_chunk(lp_pre, state, 200, 5)
     jax.block_until_ready(chain)

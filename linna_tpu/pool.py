@@ -88,15 +88,30 @@ class MultiprocessPool:
         pass
 
 
+class _TaskError:
+    """A worker-side exception shipped back to the master (picklable)."""
+
+    def __init__(self, message: str):
+        self.message = message
+
+
 class MPIPool:
     """Master/worker task farm over mpi4py (reference ``chtoPool``,
     linna/util.py:100-257).
 
-    Master sends ``(func, arg)`` per task; with ``noduplicate`` enabled the
-    function object is transmitted once per worker and subsequent tasks carry
-    a sentinel telling the worker to reuse it — the reference's optimization
-    for shipping a large emulator to workers only once.  Workers loop in
-    :meth:`wait` until they receive ``None``.
+    Master sends ``(func, task_index, arg)`` per task on a fixed tag (the
+    reference used the raw task index as the MPI tag, which exceeds the
+    guaranteed MPI_TAG_UB of 32767 for flagship-scale task lists — the index
+    rides in the payload instead) and matches replies by the echoed index.
+    With ``noduplicate`` enabled the function object is transmitted once per
+    worker and subsequent tasks carry a sentinel telling the worker to reuse
+    it — the reference's optimization for shipping a large emulator to
+    workers only once; a DIFFERENT callable in a later ``map`` automatically
+    invalidates the cache (the reference silently ran the stale function
+    unless the caller remembered ``noduplicate_close``).  A worker exception
+    is caught, shipped back, and re-raised on the master — the reference's
+    worker died silently and the master deadlocked waiting for its reply.
+    Workers loop in :meth:`wait` until they receive ``None``.
     """
 
     _REUSE = "__noduplicate__"
@@ -122,6 +137,7 @@ class MPIPool:
             raise ValueError("MPIPool needs at least 2 ranks")
         self.noduplicate = False
         self._workers_have_func: set[int] = set()
+        self._nd_func: Any = None
 
     def is_master(self) -> bool:
         return self.rank == 0
@@ -130,6 +146,10 @@ class MPIPool:
         if not self.is_master():
             self.wait()
             return []
+        if self.noduplicate and fn is not self._nd_func:
+            # a different callable than the one workers cached: resend it
+            self._workers_have_func.clear()
+            self._nd_func = fn
         tasks = list(tasks)
         n_workers = self.size - 1
         results: List[Any] = [None] * len(tasks)
@@ -142,11 +162,15 @@ class MPIPool:
             next_task += 1
         while in_flight:
             status = self._mpi.Status()
-            result = self.comm.recv(
+            idx, result = self.comm.recv(
                 source=self._mpi.ANY_SOURCE, tag=self._mpi.ANY_TAG, status=status
             )
             w = status.Get_source()
-            results[status.Get_tag()] = result
+            if isinstance(result, _TaskError):
+                raise RuntimeError(
+                    f"MPI worker {w} failed on task {idx}:\n{result.message}"
+                )
+            results[idx] = result
             if next_task < len(tasks):
                 self._send_task(fn, tasks[next_task], w, next_task)
                 in_flight[w] = next_task
@@ -155,36 +179,38 @@ class MPIPool:
                 del in_flight[w]
         return results
 
-    def _send_task(self, fn, arg, worker, tag):
+    def _send_task(self, fn, arg, worker, idx):
         if self.noduplicate and worker in self._workers_have_func:
-            payload = (self._REUSE, arg)
+            payload = (self._REUSE, idx, arg)
         else:
-            payload = (fn, arg)
+            payload = (fn, idx, arg)
             if self.noduplicate:
                 self._workers_have_func.add(worker)
-        self.comm.send(payload, dest=worker, tag=tag)
+        self.comm.send(payload, dest=worker, tag=0)
 
     def noduplicate_close(self) -> None:
         for w in range(1, self.size):
-            self.comm.send((self._RESET, None), dest=w, tag=0)
+            self.comm.send((self._RESET, 0, None), dest=w, tag=0)
         self._workers_have_func.clear()
+        self._nd_func = None
         self.noduplicate = False
 
     def bcast(self, fn: Callable, args: Any = None) -> None:
         """Run ``fn(args)`` on every worker without collecting results
         (reference linna/util.py:241-256)."""
         for w in range(1, self.size):
-            self.comm.send(("__bcast__", (fn, args)), dest=w, tag=0)
+            self.comm.send(("__bcast__", 0, (fn, args)), dest=w, tag=0)
 
     def wait(self) -> None:
-        """Worker loop: execute tasks until shutdown."""
+        """Worker loop: execute tasks until shutdown.  Exceptions are shipped
+        back as :class:`_TaskError` so the master errors instead of hanging."""
         old_func = None
         status = self._mpi.Status()
         while True:
             payload = self.comm.recv(source=0, tag=self._mpi.ANY_TAG, status=status)
             if payload is None:
                 break
-            func, arg = payload
+            func, idx, arg = payload
             if func == self._RESET:
                 old_func = None
                 continue
@@ -196,7 +222,13 @@ class MPIPool:
                 func = old_func
             else:
                 old_func = func
-            self.comm.send(func(arg), dest=0, tag=status.Get_tag())
+            try:
+                result = func(arg)
+            except Exception as e:
+                import traceback
+
+                result = _TaskError(f"{e!r}\n{traceback.format_exc()}")
+            self.comm.send((idx, result), dest=0, tag=0)
 
     def close(self) -> None:
         if self.is_master():

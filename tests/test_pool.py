@@ -68,7 +68,7 @@ class _FakeMasterComm:
         if payload is None:
             self.shutdown.add(dest)
             return
-        func, arg = payload
+        func, idx, arg = payload
         if func == MPIPool._RESET:
             self._worker_func[dest] = None
             return
@@ -81,12 +81,18 @@ class _FakeMasterComm:
         else:
             self._worker_func[dest] = func
             self.func_transmissions += 1
-        self._replies.append((dest, tag, func(arg)))
+        try:
+            result = func(arg)
+        except Exception as e:  # same contract as MPIPool.wait
+            from linna_tpu.pool import _TaskError
+
+            result = _TaskError(repr(e))
+        self._replies.append((dest, (idx, result)))
 
     def recv(self, source=None, tag=None, status=None):
-        w, t, r = self._replies.popleft()
+        w, r = self._replies.popleft()
         if status is not None:
-            status._source, status._tag = w, t
+            status._source, status._tag = w, 0
         return r
 
 
@@ -213,19 +219,82 @@ def test_mpi_worker_wait_loop_protocol():
         side.append(a)
 
     script = [
-        (7, (_square, 3)),                      # plain task, tag 7
-        (8, (MPIPool._REUSE, 4)),               # reuse cached _square
-        (0, ("__bcast__", (bcast_fn, "hi"))),   # run-everywhere
-        (0, (MPIPool._RESET, None)),            # forget cached function
-        (9, (_square, 5)),                      # fresh function again
-        (0, None),                              # shutdown
+        (0, (_square, 7, 3)),                      # plain task, index 7
+        (0, (MPIPool._REUSE, 8, 4)),               # reuse cached _square
+        (0, ("__bcast__", 0, (bcast_fn, "hi"))),   # run-everywhere
+        (0, (MPIPool._RESET, 0, None)),            # forget cached function
+        (0, (_square, 9, 5)),                      # fresh function again
+        (0, None),                                 # shutdown
     ]
     comm = _FakeWorkerComm(script)
     pool = MPIPool(comm=comm, mpi=_FakeMPI)
     assert not pool.is_master()
     pool.wait()
-    assert comm.sent == [(0, 7, 9), (0, 8, 16), (0, 9, 25)]
+    assert comm.sent == [(0, 0, (7, 9)), (0, 0, (8, 16)), (0, 0, (9, 25))]
     assert side == ["hi"]
+
+
+def _raise_on_three(x):
+    if x == 3:
+        raise ValueError("boom on 3")
+    return x * x
+
+
+def test_mpi_worker_exception_propagates_to_master():
+    """A worker exception is shipped back and re-raised on the master — the
+    reference's worker died silently and map() deadlocked in recv."""
+    import pytest
+
+    comm = _FakeMasterComm(size=3)
+    pool = MPIPool(comm=comm, mpi=_FakeMPI)
+    with pytest.raises(RuntimeError, match="boom on 3"):
+        pool.map(_raise_on_three, list(range(6)))
+
+
+def test_mpi_worker_wait_ships_exception_not_crash():
+    script = [
+        (0, (_raise_on_three, 0, 3)),
+        (0, (_raise_on_three, 1, 2)),
+        (0, None),
+    ]
+    comm = _FakeWorkerComm(script)
+    pool = MPIPool(comm=comm, mpi=_FakeMPI)
+    pool.wait()  # must not raise
+    from linna_tpu.pool import _TaskError
+
+    (d0, t0, (i0, r0)), (d1, t1, (i1, r1)) = comm.sent
+    assert i0 == 0 and isinstance(r0, _TaskError) and "boom" in r0.message
+    assert (i1, r1) == (1, 4)
+
+
+def _cube(x):
+    return x * x * x
+
+
+def test_mpi_noduplicate_invalidates_on_function_change():
+    """map() with a DIFFERENT callable resends it — the reference silently
+    ran the stale cached function unless noduplicate_close intervened."""
+    comm = _FakeMasterComm(size=3)  # 2 workers
+    pool = MPIPool(comm=comm, mpi=_FakeMPI)
+    pool.noduplicate = True
+    assert pool.map(_square, [1, 2, 3, 4]) == [1, 4, 9, 16]
+    assert comm.func_transmissions == 2
+    # same function object: no resend
+    assert pool.map(_square, [5, 6]) == [25, 36]
+    assert comm.func_transmissions == 2
+    # different function: resent, and the results are from the NEW function
+    assert pool.map(_cube, [2, 3]) == [8, 27]
+    assert comm.func_transmissions == 4
+
+
+def test_mpi_pool_task_index_not_used_as_tag():
+    """Task indices beyond MPI_TAG_UB (32767) must work: the index rides in
+    the payload, every send uses a fixed tag."""
+    comm = _FakeMasterComm(size=3)
+    pool = MPIPool(comm=comm, mpi=_FakeMPI)
+    n = 33000
+    out = pool.map(_square, list(range(n)))
+    assert out[32768] == 32768 * 32768 and out[-1] == (n - 1) ** 2
 
 
 # -------------------------------------------------- pipeline through the pool
