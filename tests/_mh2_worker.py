@@ -113,6 +113,33 @@ chain2 = backend.get_chain()
 assert len(chain2) == 32, len(chain2)
 assert np.array_equal(chain2[:16], chain), "resume must preserve the prefix"
 
+# gradient-method resume across processes: a fresh NUTS run writes
+# precond.npz (primary only), and the resume takes the primary-loaded
+# broadcast of the preconditioner arrays + the exact NUTS state restore —
+# the code path where a lagging non-primary filesystem view would
+# otherwise crash or desynchronize the whitened space
+nuts_dir = os.path.join(shared, "nuts")
+
+
+def tilted(x):
+    return -0.5 * jax.numpy.sum((x - 0.3) ** 2, axis=-1)
+
+
+x0n = np.asarray(
+    0.1 * np.random.default_rng(11).standard_normal((16, NDIM)), np.float32
+)
+kw_n = dict(
+    method="nuts", ntimes=1, tautol=100.0, meanshift=1e9, stdshift=1e9,
+    check_every=4, seed=13, shard_walkers=True, convergence_check=False,
+    m_adapt=8,
+)
+sampler_run.run_ensemble(tilted, x0n, nuts_dir, max_iterations=8, **kw_n)
+MH.barrier("after-nuts-fresh")
+assert os.path.isfile(os.path.join(nuts_dir, "precond.npz"))
+bn = sampler_run.run_ensemble(tilted, x0n, nuts_dir, max_iterations=16, **kw_n)
+MH.barrier("after-nuts-resume")
+assert bn.iteration == 16, bn.iteration
+
 # ------------------------------------------- phase 2: per-process write gate
 mine = os.path.join(gate_base + str(jax.process_index()))
 rng = np.random.default_rng(7)
