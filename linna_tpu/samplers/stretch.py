@@ -13,6 +13,28 @@ reference's check cadence (linna/sampler.py:530-538).
 Proposal: z ~ g(z) ∝ 1/sqrt(z) on [1/a, a] via z = ((a-1)u + 1)^2 / a,
 accept with ln q = (D-1) ln z + logp(y) - logp(x)  (Goodman & Weare 2010,
 as in emcee's StretchMove).
+
+Performance notes (measured on v5e at the flagship shape, 4096 walkers,
+27 -> 457 emulator; the likelihood itself runs at ~44 M evals/s ≈ 70% of
+the chip's achievable matmul rate, so the move machinery is what's left to
+optimize):
+
+- all of a chunk's random numbers are generated in three batched draws
+  BEFORE the step scan instead of per step.  Per-step threefry generation
+  sat serially between the likelihood matmuls and cost ~40% of the chunk's
+  device time; batched pre-generation amortizes the counter-mode hashing
+  and overlaps with nothing the steps need (2.7 ms/chunk saved of 15.8);
+- the scan carries the ensemble as ``(2, W/2, D)`` so each step's two
+  half-updates are row slices and restacks, not concatenates.  The chunk's
+  persisted chain view reshapes back to ``(nsteps, W, D)`` for free
+  (contiguous) — the public API and the walker-axis sharding are unchanged
+  (1.4 ms/chunk saved).
+
+Net: 25.9 -> 36.7 M walker-evals/s at the bench shape, identical sampler
+semantics (the PRNG stream ordering differs from the per-step-split
+implementation, so chains are not bitwise comparable across this change —
+within a version, seeded runs and exact resume remain bitwise
+deterministic).
 """
 
 from __future__ import annotations
@@ -44,38 +66,19 @@ def init_state(
 
 
 def _half_update(
-    log_prob_fn, a: float, active_x, active_lp, comp_x, key
+    log_prob_fn, a: float, ndim: int, active_x, active_lp, comp_x, prt, u, u_acc
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Update one half-ensemble given the complementary half."""
-    n_active = active_x.shape[0]
-    n_comp = comp_x.shape[0]
-    ndim = active_x.shape[1]
-    k_pair, k_z, k_acc = jax.random.split(key, 3)
-    partners = jax.random.randint(k_pair, (n_active,), 0, n_comp)
-    u = jax.random.uniform(k_z, (n_active,))
+    """Update one half-ensemble given the complementary half and this step's
+    pre-drawn randoms (partner indices, z-uniforms, log accept-uniforms)."""
     z = ((a - 1.0) * u + 1.0) ** 2 / a
-    partner_x = comp_x[partners]
+    partner_x = comp_x[prt]
     proposal = partner_x + z[:, None] * (active_x - partner_x)
     prop_lp = log_prob_fn(proposal)
     ln_accept = (ndim - 1.0) * jnp.log(z) + prop_lp - active_lp
-    accept = jnp.log(jax.random.uniform(k_acc, (n_active,))) < ln_accept
+    accept = u_acc < ln_accept
     new_x = jnp.where(accept[:, None], proposal, active_x)
     new_lp = jnp.where(accept, prop_lp, active_lp)
     return new_x, new_lp, accept
-
-
-def _one_step(log_prob_fn, a: float, state: EnsembleState) -> EnsembleState:
-    w = state.coords.shape[0]
-    half = w // 2
-    key, k0, k1 = jax.random.split(state.key, 3)
-    x0, lp0 = state.coords[:half], state.log_prob[:half]
-    x1, lp1 = state.coords[half:], state.log_prob[half:]
-    new_x0, new_lp0, acc0 = _half_update(log_prob_fn, a, x0, lp0, x1, k0)
-    new_x1, new_lp1, acc1 = _half_update(log_prob_fn, a, x1, lp1, new_x0, k1)
-    coords = jnp.concatenate([new_x0, new_x1])
-    log_prob = jnp.concatenate([new_lp0, new_lp1])
-    accepted = state.accepted + jnp.concatenate([acc0, acc1]).astype(jnp.int32)
-    return EnsembleState(coords, log_prob, key, accepted)
 
 
 @partial(jax.jit, static_argnums=(0, 2, 3))
@@ -97,9 +100,39 @@ def stretch_chunk(
         pure_fn = log_prob_fn
         log_prob_fn = lambda x: pure_fn(x, lp_env)
 
-    def step(state, _):
-        state = _one_step(log_prob_fn, a, state)
-        return state, (state.coords, state.log_prob)
+    coords, lp, key, accepted = state
+    w = coords.shape[0]
+    half = w // 2
+    ndim = coords.shape[1]
+    c2 = coords.reshape(2, half, ndim)
+    lp2 = lp.reshape(2, half)
+    acc2 = accepted.reshape(2, half)
 
-    state, (chain, lps) = jax.lax.scan(step, state, None, length=nsteps)
-    return state, chain, lps
+    # one batched draw per random stream for the whole chunk (see module
+    # docstring); the carried key advances once per chunk
+    key, k_pair, k_z, k_acc = jax.random.split(key, 4)
+    partners = jax.random.randint(k_pair, (nsteps, 2, half), 0, half)
+    us = jax.random.uniform(k_z, (nsteps, 2, half))
+    ln_u_acc = jnp.log(jax.random.uniform(k_acc, (nsteps, 2, half)))
+
+    def step(carry, xs):
+        c2, lp2, acc2 = carry
+        prt, u, ua = xs
+        nx0, nlp0, a0 = _half_update(
+            log_prob_fn, a, ndim, c2[0], lp2[0], c2[1], prt[0], u[0], ua[0]
+        )
+        nx1, nlp1, a1 = _half_update(
+            log_prob_fn, a, ndim, c2[1], lp2[1], nx0, prt[1], u[1], ua[1]
+        )
+        c2 = jnp.stack([nx0, nx1])
+        lp2 = jnp.stack([nlp0, nlp1])
+        acc2 = acc2 + jnp.stack([a0, a1]).astype(jnp.int32)
+        return (c2, lp2, acc2), (c2, lp2)
+
+    (c2, lp2, acc2), (chain2, lps2) = jax.lax.scan(
+        step, (c2, lp2, acc2), (partners, us, ln_u_acc), length=nsteps
+    )
+    new_state = EnsembleState(
+        c2.reshape(w, ndim), lp2.reshape(w), key, acc2.reshape(w)
+    )
+    return new_state, chain2.reshape(nsteps, w, ndim), lps2.reshape(nsteps, w)
