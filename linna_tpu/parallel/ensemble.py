@@ -331,9 +331,12 @@ class EnsembleTrainer:
         # other hosts' devices) — every host calls it; only the primary
         # writes.  One batched fetch: per-tree sequential fetches pay a
         # device->host round trip per leaf (~100 leaves across the three
-        # trees — seconds per save on a tunneled device)
+        # trees — seconds per save on a tunneled device).  The optimizer
+        # state (2/3 of the bytes; never loaded back — see Trainer._save)
+        # rides only the final forced save.
+        opt = self.opt_state if force else None
         params_h, best_h, opt_h = MH.fetch(
-            (self.params, self._best_params_mem, self.opt_state)
+            (self.params, self._best_params_mem, opt)
         )
         if not MH.is_primary():
             return
@@ -343,17 +346,18 @@ class EnsembleTrainer:
                 "best_val_loss": float(self.best_val_loss[m]),
                 "lr": float(self.lr[m]),
             }
+            opt_m = _row(opt_h, m) if opt_h is not None else None
             ckpt.save_checkpoint(
                 os.path.join(d, LAST_CKPT),
                 jax.tree.map(lambda a: a[m], params_h),
-                _row(opt_h, m),
+                opt_m,
                 meta,
             )
             if best_h is not None and self._best_dirty[m]:
                 ckpt.save_checkpoint(
                     os.path.join(d, BEST_CKPT),
                     jax.tree.map(lambda a: a[m], best_h),
-                    _row(opt_h, m),
+                    opt_m,
                     meta,
                 )
                 self._best_dirty[m] = False

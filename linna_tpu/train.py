@@ -467,13 +467,21 @@ class Trainer:
             return
         self._last_disk_save = epoch
         meta = {"epoch": epoch, "best_val_loss": self.best_val_loss, "lr": self.lr}
+        # Optimizer state rides only the FINAL (forced) save: nothing in the
+        # framework ever loads it back (resume is always best-params + fresh
+        # optimizer — Trainer.load_best / orchestrator.retrieve_model — the
+        # same contract as the reference's production initfrombest path), and
+        # the AdamW moments are 2/3 of the checkpoint's bytes: fetching them
+        # over a tunneled link for every periodic save measured ~8.5 s per
+        # training iteration at the flagship shape (TRAINING_PERF.md).
+        opt = self.opt_state if force else None
         ckpt.save_checkpoint(
-            os.path.join(self.outdir, LAST_CKPT), self.params, self.opt_state, meta
+            os.path.join(self.outdir, LAST_CKPT), self.params, opt, meta
         )
         if getattr(self, "_best_dirty", False):
             best = getattr(self, "_best_params_mem", self.params)
             ckpt.save_checkpoint(
-                os.path.join(self.outdir, BEST_CKPT), best, self.opt_state, meta
+                os.path.join(self.outdir, BEST_CKPT), best, opt, meta
             )
             self._best_dirty = False
 

@@ -195,3 +195,33 @@ def test_supervisor_decision_machine():
     for ep in range(9):
         sup.step(ep, np.array([3.0, 0, 0]), 1.0, 1.0)
     assert sup.step(10, np.array([3.0, 0, 0]), 1.0, min_eig=1e-9) == "reinit"
+
+
+def test_periodic_saves_skip_optimizer_state(tmp_path):
+    """Periodic (non-forced) disk saves omit the AdamW moments (they are 2/3
+    of the bytes and never loaded back — resume is best-params + fresh
+    optimizer); the final forced save still carries them."""
+    ts, state, tx, ty, vx, vy = _problem(seed=3)
+    spec = N.make_model_spec("chto_simple", 2, 3)
+    tr = Trainer(spec, ts, state, outdir=str(tmp_path))
+    tr.train(tx, ty, vx, vy, num_epochs=5, batch_size=16, auto_lr=False)
+
+    # mid-run (non-forced) save
+    tr._last_disk_save = -(10**9)
+    tr._best_dirty = True
+    tr._save(2, False)
+    with np.load(tmp_path / "last.ckpt.npz") as z:
+        assert not any(k.startswith("opt/") for k in z.files)
+    with np.load(tmp_path / "best.ckpt.npz") as z:
+        assert not any(k.startswith("opt/") for k in z.files)
+    # optimizer-less checkpoints still load cleanly
+    params, opt, meta = C.load_checkpoint(
+        str(tmp_path / "best.ckpt.npz"), tr.params
+    )
+    assert opt is None and "best_val_loss" in meta
+
+    # forced (final) save carries the optimizer state
+    tr._last_disk_save = -(10**9)
+    tr._save(4, False, force=True)
+    with np.load(tmp_path / "last.ckpt.npz") as z:
+        assert any(k.startswith("opt/") for k in z.files)
