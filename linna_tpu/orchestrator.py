@@ -821,9 +821,20 @@ def _importance_sampling(
     # logw directly and shifting before exponentiation is exact for the
     # well-conditioned case and robust for the pathological one.
     logw = logp - log_prob_samples
-    keep = np.abs(logw - np.mean(logw)) <= 2 * np.std(logw)
-    w = np.exp(logw - np.max(logw[keep]))
-    w[~keep] = 0.0
+    # a failed theory evaluation (NaN/inf data vector -> non-finite logp)
+    # must not poison the outlier statistics: one NaN makes mean/std NaN and
+    # the keep mask all-False (then max over an empty slice crashes).  Such
+    # rows get weight 0 and the 2-sigma clip runs over the finite rest.
+    finite = np.isfinite(logw)
+    if not finite.any():
+        raise RuntimeError(
+            "importance sampling: every subsampled point produced a "
+            f"non-finite log-weight; inspect {theory_path}"
+        )
+    ref = logw[finite]
+    keep = finite & (np.abs(logw - np.mean(ref)) <= 2 * np.std(ref))
+    w = np.zeros_like(logw)
+    w[keep] = np.exp(logw[keep] - np.max(logw[keep]))
     w = w / np.sum(w)
     if MH.is_primary():
         np.save(os.path.join(outdir, "weight_im.npy"), [log_prob_samples, logp, w])

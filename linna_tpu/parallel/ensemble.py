@@ -267,9 +267,27 @@ class EnsembleTrainer:
             self.params = _row_set(self.params, m, _row(self._best_params_mem, m))
             return True
         path = os.path.join(self.outdirs[m], BEST_CKPT)
-        if not ckpt.checkpoint_exists(path):
+
+        # file-derived state: the PRIMARY reads; the raw payload ships
+        # bit-exactly to every pod host (same convention as _auto_lr and the
+        # sampler resume loaders), so a non-primary host with a lagging
+        # shared-filesystem view can neither take a different exists-branch
+        # (reinit vs reload -> divergent SPMD programs) nor load different
+        # bytes than the primary
+        def _read():
+            if not ckpt.checkpoint_exists(path):
+                return None
+            arrays, meta = ckpt.read_checkpoint_raw(path)
+            return (
+                {k: v for k, v in arrays.items() if k.startswith("params/")},
+                meta,
+            )
+
+        payload = MH.broadcast_from_primary(_read)
+        if payload is None:
             return False
-        row, _, meta = ckpt.load_checkpoint(path, _row(self.params, m))
+        arrays, meta = payload
+        row = ckpt.params_from_raw(_row(self.params, m), arrays)
         self.params = _row_set(self.params, m, row)
         self.best_val_loss[m] = float(
             meta.get("best_val_loss", self.best_val_loss[m])

@@ -167,9 +167,23 @@ class MPIPool:
             )
             w = status.Get_source()
             if isinstance(result, _TaskError):
-                raise RuntimeError(
+                # drain the other workers' in-flight replies before raising:
+                # leaving them queued would corrupt the next map() on this
+                # pool (a stale (idx, result) pair would be consumed as if it
+                # belonged to the new task list)
+                err = RuntimeError(
                     f"MPI worker {w} failed on task {idx}:\n{result.message}"
                 )
+                del in_flight[w]
+                while in_flight:
+                    drain_status = self._mpi.Status()
+                    self.comm.recv(
+                        source=self._mpi.ANY_SOURCE,
+                        tag=self._mpi.ANY_TAG,
+                        status=drain_status,
+                    )
+                    in_flight.pop(drain_status.Get_source(), None)
+                raise err
             results[idx] = result
             if next_task < len(tasks):
                 self._send_task(fn, tasks[next_task], w, next_task)

@@ -29,6 +29,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .stretch import bind_env
+
 __all__ = [
     "HMCState",
     "NUTSState",
@@ -144,9 +146,7 @@ def hmc_chunk(
 
     ``lp_env``: optional traced env for a pure ``log_prob_fn(x, lp_env)``
     (see stretch.stretch_chunk)."""
-    if lp_env is not None:
-        pure_fn = log_prob_fn
-        log_prob_fn = lambda x: pure_fn(x, lp_env)
+    log_prob_fn = bind_env(log_prob_fn, lp_env)
     vg_fn = _value_and_grad_batched(log_prob_fn)
     mass_v = jnp.broadcast_to(
         jnp.asarray(mass, jnp.float32), state.coords.shape[-1:]
@@ -410,9 +410,7 @@ def nuts_chunk(
 
     ``lp_env``: optional traced env for a pure ``log_prob_fn(x, lp_env)``
     (see stretch.stretch_chunk)."""
-    if lp_env is not None:
-        pure_fn = log_prob_fn
-        log_prob_fn = lambda x: pure_fn(x, lp_env)
+    log_prob_fn = bind_env(log_prob_fn, lp_env)
     vg1 = _single_vg(log_prob_fn)
     d = state.coords.shape[-1]
     mass_v = jnp.broadcast_to(jnp.asarray(mass, jnp.float32), (d,))

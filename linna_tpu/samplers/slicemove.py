@@ -45,6 +45,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .stretch import bind_env
+
 __all__ = ["SliceState", "init_slice_state", "slice_chunk"]
 
 
@@ -64,6 +66,13 @@ def init_slice_state(
     mu: float = 1.0,
 ) -> SliceState:
     x0 = jnp.asarray(x0, jnp.float32)
+    if x0.shape[0] % 2:
+        # the (2, W/2, D) chunk layout requires an even split (and zeus's own
+        # half-ensembles assume one); fail clearly at init rather than with a
+        # reshape error inside the jitted chunk
+        raise ValueError(
+            f"nwalkers must be even for the slice move (got {x0.shape[0]})"
+        )
     lp = log_prob_fn(x0)
     return SliceState(
         x0,
@@ -188,9 +197,7 @@ def slice_chunk(
 
     ``lp_env``: optional traced env for a pure ``log_prob_fn(x, lp_env)``
     (see stretch.stretch_chunk)."""
-    if lp_env is not None:
-        pure_fn = log_prob_fn
-        log_prob_fn = lambda x: pure_fn(x, lp_env)
+    log_prob_fn = bind_env(log_prob_fn, lp_env)
 
     coords, lp, key, mu, n_expand, n_contract = state
     w = coords.shape[0]

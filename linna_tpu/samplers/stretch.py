@@ -45,7 +45,18 @@ from typing import Callable, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["EnsembleState", "init_state", "stretch_chunk"]
+__all__ = ["EnsembleState", "bind_env", "init_state", "stretch_chunk"]
+
+
+def bind_env(log_prob_fn: Callable, lp_env) -> Callable:
+    """Close a pure two-argument likelihood ``fn(x, env)`` over its traced
+    env (likelihood.make_log_prob's ``_pure``/``_env`` split — keeps trained
+    weights/transforms out of the compiled HLO so chunk programs persist in
+    the compilation cache across runs).  ``lp_env is None`` means
+    ``log_prob_fn`` is already a closed one-argument callable."""
+    if lp_env is None:
+        return log_prob_fn
+    return lambda x: log_prob_fn(x, lp_env)
 
 
 class EnsembleState(NamedTuple):
@@ -59,6 +70,13 @@ def init_state(
     key: jax.Array, x0: jax.Array, log_prob_fn: Callable[[jax.Array], jax.Array]
 ) -> EnsembleState:
     x0 = jnp.asarray(x0, jnp.float32)
+    if x0.shape[0] % 2:
+        # same contract as emcee's RedBlueMove; the (2, W/2, D) chunk layout
+        # relies on it, and an odd count would otherwise surface as an
+        # opaque reshape error inside the jitted chunk
+        raise ValueError(
+            f"nwalkers must be even for the stretch move (got {x0.shape[0]})"
+        )
     lp = log_prob_fn(x0)
     return EnsembleState(
         x0, lp, key, jnp.zeros(x0.shape[0], jnp.int32)
@@ -96,9 +114,7 @@ def stretch_chunk(
     ``log_prob_fn(x, lp_env)`` (likelihood.make_log_prob's ``_pure``/``_env``
     split) — keeps trained weights/transforms out of the compiled HLO so the
     chunk program persists in the compilation cache across runs."""
-    if lp_env is not None:
-        pure_fn = log_prob_fn
-        log_prob_fn = lambda x: pure_fn(x, lp_env)
+    log_prob_fn = bind_env(log_prob_fn, lp_env)
 
     coords, lp, key, accepted = state
     w = coords.shape[0]

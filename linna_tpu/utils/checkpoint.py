@@ -19,7 +19,13 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import numpy as np
 
-__all__ = ["save_checkpoint", "load_checkpoint", "checkpoint_exists"]
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "checkpoint_exists",
+    "read_checkpoint_raw",
+    "params_from_raw",
+]
 
 
 def _path_key(path) -> str:
@@ -109,3 +115,27 @@ def load_checkpoint(
 
 def checkpoint_exists(path: str) -> bool:
     return os.path.isfile(path)
+
+
+def read_checkpoint_raw(path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
+    """Read a checkpoint's raw flat arrays + meta WITHOUT a template.
+
+    The file-read half of :func:`load_checkpoint`, split out so a pod
+    primary can read once and ship the picklable payload to every host
+    (``multihost.broadcast_from_primary``) before each host unflattens
+    locally via :func:`params_from_raw`.
+    """
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files}
+    meta = (
+        json.loads(bytes(arrays.pop("__meta__")).decode())
+        if "__meta__" in arrays
+        else {}
+    )
+    return arrays, meta
+
+
+def params_from_raw(params_like: Any, arrays: Dict[str, np.ndarray]) -> Any:
+    """Unflatten the ``params/`` half of a :func:`read_checkpoint_raw` payload
+    into a pytree shaped like ``params_like``."""
+    return _unflatten_like(params_like, arrays, "params/")

@@ -157,6 +157,20 @@ ens = EnsembleTrainer(
 ens.train(tx, ty, tx[:16], ty[:16], num_epochs=4, batch_size=16)
 
 
+# file-branch of the best-member loader across processes: only the
+# PRIMARY's best.ckpt.npz exists (the non-primary's gate dir is file-free
+# by the write gate), so True on BOTH processes proves the checkpoint
+# payload rode broadcast_from_primary — a per-host filesystem check would
+# return False here and silently reinit the member on the non-primary
+# (divergent SPMD state)
+ens2 = EnsembleTrainer(
+    spec, tset, loss_state,
+    [mine, os.path.join(mine, "ens_1")], [11, 12],
+)
+for m in (0, 1):
+    assert ens2._load_best_member(m), f"broadcast best-member load (member {m})"
+
+
 def analytic(x):
     return -0.5 * jax.numpy.sum(x**2, axis=-1)
 

@@ -153,3 +153,29 @@ def test_pipeline_importance_sampling_artifacts(tmp_path):
     assert w.shape == (10,)
     npt.assert_allclose(np.sum(w), 1.0, rtol=1e-10)
     assert chain.shape == (10, 2)
+
+
+def test_importance_weights_survive_nan_theory(tmp_path):
+    """A failed theory evaluation (NaN data vector -> NaN logp) is zeroed
+    like any outlier instead of poisoning mean/std (which made the keep mask
+    all-False and crashed np.max over an empty slice)."""
+    outdir = str(tmp_path)
+    rng = np.random.default_rng(3)
+    samples = np.linspace(-1.0, 1.0, 20).reshape(-1, 1)
+    logp_emu = -0.5 * samples[:, 0] ** 2
+    np.save(os.path.join(outdir, "samples_im.npy"), samples)
+    np.save(os.path.join(outdir, "log_prob_samples_x.npy"), logp_emu)
+    theory_vals = samples.copy()
+    theory_vals[7] = np.nan  # one failed evaluation
+    np.save(os.path.join(outdir, "theory.npy"), theory_vals)
+
+    priors = [{"param": "a", "dist": "flat", "arg1": -2.0, "arg2": 2.0}]
+    _importance_sampling(
+        outdir, "unused.h5", {"nimp": len(samples)}, 1, 2, "emcee",
+        _identity_theory, None, priors, np.zeros(1), np.eye(1),
+        P.prior_range(P.priors_from_list(priors)), rng,
+    )
+    _, _, w = np.load(os.path.join(outdir, "weight_im.npy"))
+    assert np.all(np.isfinite(w))
+    assert w[7] == 0.0
+    npt.assert_allclose(np.sum(w), 1.0, rtol=1e-10)

@@ -354,3 +354,17 @@ def test_multiprocess_pool_constructed_after_jax_compute():
         assert p.map(_square, [1, 2, 3]) == [1, 4, 9]
     finally:
         p.close()
+
+
+def test_mpi_pool_map_usable_after_worker_error():
+    """After a worker error, map() drains the other workers' in-flight
+    replies before raising — otherwise the NEXT map() on the pool consumes a
+    stale (idx, result) pair and returns silently wrong results."""
+    import pytest
+
+    comm = _FakeMasterComm(size=3)
+    pool = MPIPool(comm=comm, mpi=_FakeMPI)
+    with pytest.raises(RuntimeError, match="boom on 3"):
+        pool.map(_raise_on_three, list(range(6)))
+    assert not comm._replies  # no stale replies left queued
+    assert pool.map(_square, [1, 2, 3, 4]) == [1, 4, 9, 16]

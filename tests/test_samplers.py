@@ -412,3 +412,18 @@ def test_stale_state_blob_falls_back_to_statistical_resume(tmp_path):
     npt.assert_array_equal(ca[100:], cb[100:])
     # and the pre-resume prefix is untouched
     npt.assert_array_equal(ca[:100], cb[:100])
+
+
+def test_odd_walker_count_rejected_at_init():
+    """The (2, W/2, D) chunk layout needs an even ensemble (emcee's own
+    contract); an odd count must fail clearly at init, not as a reshape
+    error inside the jitted chunk."""
+    import pytest
+
+    lp = lambda x: -0.5 * jnp.sum(x**2, axis=-1)
+    x0 = jnp.zeros((31, 2))
+    key = jax.random.PRNGKey(0)
+    with pytest.raises(ValueError, match="even"):
+        stretch.init_state(key, x0, lp)
+    with pytest.raises(ValueError, match="even"):
+        slicemove.init_slice_state(key, x0, lp)
