@@ -15,10 +15,15 @@ the public driver, then reports:
 Writes FLAGSHIP.json (machine-readable) and prints one JSON summary line.
 Reference scale for context: the real analysis this mimics took the
 reference 24 h x 128 MPI ranks + 18 h GPU budgets (BASELINE.md).
+
+Also drives the other synthetic analysis classes: pass
+``theory=examples.lsst_theory yaml=examples/lsst_synthetic.yaml`` on the
+CLI for the LSST-Y10-6x2pt+N-scale run (40 params -> 1560 points).
 """
 
 from __future__ import annotations
 
+import importlib
 import json
 import os
 import shutil
@@ -30,8 +35,6 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
-OUTDIR = "/tmp/linna_des_bench"
-
 
 def _enable_compile_cache():
     from linna_tpu.orchestrator import _enable_compile_cache as enable
@@ -39,7 +42,18 @@ def _enable_compile_cache():
     enable()
 
 
-def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP.json"):
+def main(
+    fresh: bool = True,
+    overrides: dict | None = None,
+    out: str = "FLAGSHIP.json",
+    theory_mod: str = "examples.des_theory",
+    config_yaml: str = "examples/des_synthetic.yaml",
+):
+    # tag names the /tmp dirs, the metric and the exact-posterior artifact;
+    # "des" keeps the historical paths/filenames
+    tag = theory_mod.rsplit(".", 1)[-1].replace("_theory", "")
+    outdir = f"/tmp/linna_{tag}_bench"
+    indir = f"/tmp/linna_{tag}_inputs"
     import faulthandler
 
     # watchdog: if any phase wedges (e.g. a stuck remote compile), dump all
@@ -62,9 +76,8 @@ def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP
     jax.block_until_ready(jax.numpy.ones((8, 8)).sum())
     _guard.cancel()
     # inputs (same recipe as examples/make_des_inputs.py)
-    from examples import des_theory as T
+    T = importlib.import_module(theory_mod)
 
-    indir = "/tmp/linna_des_inputs"
     os.makedirs(indir, exist_ok=True)
     truth_params = T.fiducial() + 0.05
     truth_vec = T.data_vector(truth_params)
@@ -79,16 +92,16 @@ def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP
     np.savetxt(os.path.join(indir, "cov_triplet.txt"), rows)
     cov_dense = read_triplet_cov(rows)
 
-    if fresh and os.path.isdir(OUTDIR):
-        shutil.rmtree(OUTDIR)
+    if fresh and os.path.isdir(outdir):
+        shutil.rmtree(outdir)
 
     from linna_tpu import driver
     from linna_tpu.config import yaml_load
     from linna_tpu.samplers import convergence
 
-    params = yaml_load(os.path.join(HERE, "examples/des_synthetic.yaml"),
+    params = yaml_load(os.path.join(HERE, config_yaml),
                        parent_dir=os.path.join(HERE, "examples"))
-    params["outdir"] = OUTDIR
+    params["outdir"] = outdir
     params["base_dir"] = indir
     params.update(overrides or {})
 
@@ -98,7 +111,7 @@ def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP
 
     # phase breakdown
     phases = {}
-    trace_path = os.path.join(OUTDIR, "trace.json")
+    trace_path = os.path.join(outdir, "trace.json")
     if os.path.isfile(trace_path):
         try:
             with open(trace_path) as f:
@@ -115,7 +128,7 @@ def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP
     from linna_tpu.orchestrator import _chain_filename, _open_backend
 
     last_iter = len(params["ntrainArr"]) - 1
-    final_dir = os.path.join(OUTDIR, f"iter_{last_iter}/")
+    final_dir = os.path.join(outdir, f"iter_{last_iter}/")
     m_arr = params.get("methodArr")
     final_method = m_arr[last_iter] if m_arr else "zeus"
     backend = _open_backend(
@@ -185,7 +198,11 @@ def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP
     # exists, also report the emulator's true contribution:
     # |flagship mean - exact mean| / exact std.
     emu_bias = None
-    exact_path = os.path.join(HERE, "EXACT_POSTERIOR.json")
+    exact_path = os.path.join(
+        HERE,
+        "EXACT_POSTERIOR.json" if tag == "des"
+        else f"EXACT_POSTERIOR_{tag.upper()}.json",
+    )
     if os.path.isfile(exact_path):
         with open(exact_path) as f:
             exact = json.load(f)
@@ -194,7 +211,7 @@ def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP
         emu_bias = np.abs(post_mean - e_mean) / e_std
 
     result = {
-        "metric": "des_synthetic_wallclock",
+        "metric": f"{tag}_synthetic_wallclock",
         "value": round(wall, 1),
         "unit": "s",
         "phases_s": {k: round(v, 1) for k, v in phases.items()},
@@ -217,7 +234,7 @@ def main(fresh: bool = True, overrides: dict | None = None, out: str = "FLAGSHIP
         "nwalkers": int(full.shape[1]),
         "ndim": T.NDIM,
         "ndata": T.NDATA,
-        "config": "examples/des_synthetic.yaml (paper schedule: 4 iterations"
+        "config": f"{config_yaml} (paper schedule: 4 iterations"
         " x 10000, T^2=16,4,1,1, nensemble=2, 256 walkers)"
         + (f" + overrides {overrides}" if overrides else ""),
     }
@@ -231,16 +248,22 @@ if __name__ == "__main__":
     # CLI: [--resume] [out=FILE.json] [key=value ...]  — key=value entries
     # override the YAML config (e.g. train_compute_dtype=bfloat16)
     _overrides, _out = {}, "FLAGSHIP.json"
+    _theory, _yaml = "examples.des_theory", "examples/des_synthetic.yaml"
     for arg in sys.argv[1:]:
         if arg == "--resume" or "=" not in arg:
             continue
         k, _, v = arg.partition("=")
         if k == "out":
             _out = v
+        elif k == "theory":
+            _theory = v
+        elif k == "yaml":
+            _yaml = v
         else:
             try:
                 v = json.loads(v)
             except json.JSONDecodeError:
                 pass
             _overrides[k] = v
-    main(fresh="--resume" not in sys.argv, overrides=_overrides, out=_out)
+    main(fresh="--resume" not in sys.argv, overrides=_overrides, out=_out,
+         theory_mod=_theory, config_yaml=_yaml)

@@ -370,3 +370,65 @@ def test_des_theory_jax_parity():
     # single-row call matches too
     got1 = np.asarray(T.data_vector_jax(jnp.asarray(xs[0], jnp.float32)))
     np.testing.assert_allclose(got1, ref[0], rtol=2e-4, atol=2e-4)
+
+
+def test_lsst_theory_full_rank_and_parity():
+    """The LSST-Y10-6x2pt+N-scale instantiation (40 params -> 1560 points,
+    examples/lsst_theory.py) must satisfy the same contracts as the DES one:
+    full-rank, moderately conditioned Fisher matrix; jax mirror agreeing with
+    the numpy map; picklable theory callable for the pool fan-out."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    from examples import lsst_theory as T
+
+    assert (T.NDIM, T.NDATA) == (40, 1560)
+    truth = T.fiducial() + 0.05
+    tv = T.data_vector(truth)
+    sigma = T.noise_sigma(tv)
+    eps = 1e-5
+    J = np.zeros((T.NDATA, T.NDIM))
+    for j in range(T.NDIM):
+        e = np.zeros(T.NDIM)
+        e[j] = eps
+        J[:, j] = (T.data_vector(truth + e) - T.data_vector(truth - e)) / (2 * eps)
+    F = J.T @ np.diag(1.0 / sigma**2) @ J
+    w = np.linalg.eigvalsh(F)
+    assert w[0] > 0
+    assert w[-1] / w[0] < 1e4, f"ill-conditioned Fisher: {w[-1]/w[0]:.1e}"
+    s = np.sqrt(np.diag(np.linalg.inv(F)))
+    assert 0.005 < np.median(s) < 0.2
+
+    # jax mirror parity (batched + single row)
+    rng = np.random.default_rng(8)
+    xs = rng.uniform(-0.5, 0.5, size=(3, T.NDIM))
+    ref = np.stack([T.data_vector(x) for x in xs])
+    got = np.asarray(T.data_vector_jax(jnp.asarray(xs, jnp.float32)))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    # the theory callable survives pickling (pool contract) and follows the
+    # ([index, x], outdir) calling convention (reference util.py:768)
+    theory = T.make_theory({})
+    theory2 = pickle.loads(pickle.dumps(theory))
+    np.testing.assert_array_equal(theory2([0, truth], None), tv)
+
+
+def test_lsst_config_loads():
+    """examples/lsst_synthetic.yaml is a valid driver config with shapes
+    matching the theory module."""
+    from examples import lsst_theory as T
+    from linna_tpu.config import yaml_load
+
+    params = yaml_load(
+        os.path.join(REPO, "examples/lsst_synthetic.yaml"),
+        parent_dir=os.path.join(REPO, "examples"),
+    )
+    assert len(params["sampled_params"]) == T.NDIM
+    assert params["theory"] == "examples.lsst_theory:make_theory"
+    mod_name, _, factory = params["theory"].partition(":")
+    import importlib
+
+    theory = getattr(importlib.import_module(mod_name), factory)(params)
+    out = theory([0, np.zeros(T.NDIM)], None)
+    assert out.shape == (T.NDATA,)
