@@ -23,11 +23,13 @@ examples/make_des_inputs.py.
 
 Runs on CPU by default (the theory is two small matmuls; NUTS needs only
 its gradient) so it can share the machine with a TPU flagship run.
-Writes EXACT_POSTERIOR.json.
+Writes EXACT_POSTERIOR.json (DES default) / EXACT_POSTERIOR_<TAG>.json; pass
+``theory=examples.lsst_theory`` on the CLI for the LSST-scale posterior.
 """
 
 from __future__ import annotations
 
+import importlib
 import json
 import os
 import shutil
@@ -39,18 +41,27 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
-OUTDIR = "/tmp/linna_des_exact"
 # post-warmup steps kept; NUTS tau ~ 1 on this posterior so with 256
 # walkers this is an ESS of a few 1e5 per parameter -> MC error on the
 # mean of ~0.002 sigma, well below the 0.01-sigma reporting precision
 N_STEPS = 1500
 
 
-def main(n_steps: int = N_STEPS, seed: int = 7) -> dict:
+def main(
+    n_steps: int = N_STEPS,
+    seed: int = 7,
+    theory_mod: str = "examples.des_theory",
+) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from examples import des_theory as T
+    T = importlib.import_module(theory_mod)
+    tag = theory_mod.rsplit(".", 1)[-1].replace("_theory", "")
+    outdir = f"/tmp/linna_{tag}_exact"
+    out_json = (
+        "EXACT_POSTERIOR.json" if tag == "des"
+        else f"EXACT_POSTERIOR_{tag.upper()}.json"
+    )
     from linna_tpu import priors as PR
     from linna_tpu.driver import read_triplet_cov
     from linna_tpu.likelihood import gaussian_loglike
@@ -88,12 +99,12 @@ def main(n_steps: int = N_STEPS, seed: int = 7) -> dict:
     x0_center = np.asarray(PR.inv_transform(pack, jnp.asarray(truth)))
     x0 = x0_center + 0.01 * rng.standard_normal((nwalkers, T.NDIM))
 
-    if os.path.isdir(OUTDIR):
-        shutil.rmtree(OUTDIR)
+    if os.path.isdir(outdir):
+        shutil.rmtree(outdir)
     sampler_run.run_ensemble(
         log_prob,
         x0.astype(np.float32),
-        OUTDIR,
+        outdir,
         method="nuts",
         transform=lambda c: np.asarray(PR.transform(pack, c)),
         # fixed high-ESS length: run exactly n_steps with no convergence
@@ -107,7 +118,7 @@ def main(n_steps: int = N_STEPS, seed: int = 7) -> dict:
         progress=True,
     )
 
-    backend = EmceeBackend(os.path.join(OUTDIR, sampler_run.EMCEE_FILENAME))
+    backend = EmceeBackend(os.path.join(outdir, sampler_run.EMCEE_FILENAME))
     full = backend.get_value("chain_transformed")
     flat = full[len(full) // 5 :].reshape(-1, T.NDIM)
     mean = np.mean(flat, axis=0)
@@ -136,12 +147,17 @@ def main(n_steps: int = N_STEPS, seed: int = 7) -> dict:
         "intrinsic_skew_sigma is what a PERFECT emulator would score on "
         "bench_full's |mean-truth|/std metric",
     }
-    with open(os.path.join(HERE, "EXACT_POSTERIOR.json"), "w") as f:
+    with open(os.path.join(HERE, out_json), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if "exact_" not in k}))
     return result
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else N_STEPS
-    main(n_steps=n)
+    n, _theory = N_STEPS, "examples.des_theory"
+    for arg in sys.argv[1:]:
+        if arg.startswith("theory="):
+            _theory = arg.partition("=")[2]
+        else:
+            n = int(arg)
+    main(n_steps=n, theory_mod=_theory)
