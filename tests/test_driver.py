@@ -372,18 +372,25 @@ def test_des_theory_jax_parity():
     np.testing.assert_allclose(got1, ref[0], rtol=2e-4, atol=2e-4)
 
 
-def test_lsst_theory_full_rank_and_parity():
-    """The LSST-Y10-6x2pt+N-scale instantiation (40 params -> 1560 points,
-    examples/lsst_theory.py) must satisfy the same contracts as the DES one:
-    full-rank, moderately conditioned Fisher matrix; jax mirror agreeing with
-    the numpy map; picklable theory callable for the pool fan-out."""
+@pytest.mark.parametrize(
+    "mod_name,shape",
+    [("examples.lsst_theory", (40, 1560)),
+     ("examples.des4x2ptn_theory", (31, 630))],
+)
+def test_scaled_theory_full_rank_and_parity(mod_name, shape):
+    """The LSST-Y10-6x2pt+N- and DES-4x2pt+N-scale instantiations
+    (examples/lsst_theory.py, examples/des4x2ptn_theory.py) must satisfy the
+    same contracts as the DES one: full-rank, moderately conditioned Fisher
+    matrix; jax mirror agreeing with the numpy map; picklable theory callable
+    for the pool fan-out."""
+    import importlib
     import pickle
 
     import jax.numpy as jnp
 
-    from examples import lsst_theory as T
+    T = importlib.import_module(mod_name)
 
-    assert (T.NDIM, T.NDATA) == (40, 1560)
+    assert (T.NDIM, T.NDATA) == shape
     truth = T.fiducial() + 0.05
     tv = T.data_vector(truth)
     sigma = T.noise_sigma(tv)
@@ -414,20 +421,26 @@ def test_lsst_theory_full_rank_and_parity():
     np.testing.assert_array_equal(theory2([0, truth], None), tv)
 
 
-def test_lsst_config_loads():
-    """examples/lsst_synthetic.yaml is a valid driver config with shapes
-    matching the theory module."""
-    from examples import lsst_theory as T
+@pytest.mark.parametrize(
+    "yaml_name,theory_mod",
+    [("lsst_synthetic.yaml", "examples.lsst_theory"),
+     ("des4x2ptn_synthetic.yaml", "examples.des4x2ptn_theory")],
+)
+def test_scaled_config_loads(yaml_name, theory_mod):
+    """The scaled-analysis YAMLs are valid driver configs with shapes
+    matching their theory modules."""
+    import importlib
+
     from linna_tpu.config import yaml_load
 
+    T = importlib.import_module(theory_mod)
     params = yaml_load(
-        os.path.join(REPO, "examples/lsst_synthetic.yaml"),
+        os.path.join(REPO, "examples", yaml_name),
         parent_dir=os.path.join(REPO, "examples"),
     )
     assert len(params["sampled_params"]) == T.NDIM
-    assert params["theory"] == "examples.lsst_theory:make_theory"
+    assert params["theory"] == f"{theory_mod}:make_theory"
     mod_name, _, factory = params["theory"].partition(":")
-    import importlib
 
     theory = getattr(importlib.import_module(mod_name), factory)(params)
     out = theory([0, np.zeros(T.NDIM)], None)
