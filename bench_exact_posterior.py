@@ -55,13 +55,16 @@ def main(
     import jax
     import jax.numpy as jnp
 
-    T = importlib.import_module(theory_mod)
-    tag = theory_mod.rsplit(".", 1)[-1].replace("_theory", "")
-    outdir = f"/tmp/linna_{tag}_exact"
-    out_json = (
-        "EXACT_POSTERIOR.json" if tag == "des"
-        else f"EXACT_POSTERIOR_{tag.upper()}.json"
+    from bench_common import (
+        default_config_yaml,
+        exact_posterior_filename,
+        theory_tag,
     )
+
+    T = importlib.import_module(theory_mod)
+    tag = theory_tag(theory_mod)
+    outdir = f"/tmp/linna_{tag}_exact"
+    out_json = exact_posterior_filename(tag)
     from linna_tpu import priors as PR
     from linna_tpu.driver import read_triplet_cov
     from linna_tpu.likelihood import gaussian_loglike
@@ -76,12 +79,21 @@ def main(
     cov = read_triplet_cov(T.cov_triplet_rows(T.noise_sigma(truth_vec)))
     inv_cov = np.linalg.inv(cov)
 
-    pack = PR.priors_from_list(
-        [
-            {"param": f"p{i}", "dist": "flat", "arg1": -1.0, "arg2": 1.0}
-            for i in range(T.NDIM)
-        ]
-    )
+    # the SAME priors as the flagship run — read from the analysis class's
+    # own YAML (bench_full samples the posterior those priors define; a
+    # hardcoded prior list here would silently decompose against a
+    # different posterior)
+    from linna_tpu.config import yaml_load
+
+    config_path = os.path.join(HERE, default_config_yaml(tag))
+    cfg = yaml_load(config_path, parent_dir=os.path.dirname(config_path))
+    prior_list = cfg["sampled_params"]
+    if len(prior_list) != T.NDIM:
+        raise ValueError(
+            f"{config_path} defines {len(prior_list)} priors but "
+            f"{theory_mod} has NDIM={T.NDIM}"
+        )
+    pack = PR.priors_from_list(prior_list)
 
     data_j = jnp.asarray(truth_vec, jnp.float32)
     inv_j = jnp.asarray(inv_cov, jnp.float32)
@@ -154,10 +166,18 @@ def main(
 
 
 if __name__ == "__main__":
-    n, _theory = N_STEPS, "examples.des_theory"
+    # CLI: [n_steps] [theory=MODULE] [seed=K] — anything else is an error
+    n, _theory, _seed = N_STEPS, "examples.des_theory", 7
     for arg in sys.argv[1:]:
         if arg.startswith("theory="):
             _theory = arg.partition("=")[2]
-        else:
+        elif arg.startswith("seed="):
+            _seed = int(arg.partition("=")[2])
+        elif arg.isdigit():
             n = int(arg)
-    main(n_steps=n, theory_mod=_theory)
+        else:
+            raise SystemExit(
+                f"unknown argument {arg!r}; usage: "
+                "bench_exact_posterior.py [n_steps] [theory=MOD] [seed=K]"
+            )
+    main(n_steps=n, seed=_seed, theory_mod=_theory)

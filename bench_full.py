@@ -49,9 +49,9 @@ def main(
     theory_mod: str = "examples.des_theory",
     config_yaml: str = "examples/des_synthetic.yaml",
 ):
-    # tag names the /tmp dirs, the metric and the exact-posterior artifact;
-    # "des" keeps the historical paths/filenames
-    tag = theory_mod.rsplit(".", 1)[-1].replace("_theory", "")
+    from bench_common import exact_posterior_filename, theory_tag
+
+    tag = theory_tag(theory_mod)
     outdir = f"/tmp/linna_{tag}_bench"
     indir = f"/tmp/linna_{tag}_inputs"
     import faulthandler
@@ -99,8 +99,11 @@ def main(
     from linna_tpu.config import yaml_load
     from linna_tpu.samplers import convergence
 
-    params = yaml_load(os.path.join(HERE, config_yaml),
-                       parent_dir=os.path.join(HERE, "examples"))
+    config_path = config_yaml if os.path.isabs(config_yaml) else os.path.join(
+        HERE, config_yaml
+    )
+    # resolve include: against the config's own directory, not a fixed one
+    params = yaml_load(config_path, parent_dir=os.path.dirname(config_path))
     params["outdir"] = outdir
     params["base_dir"] = indir
     params.update(overrides or {})
@@ -198,11 +201,7 @@ def main(
     # exists, also report the emulator's true contribution:
     # |flagship mean - exact mean| / exact std.
     emu_bias = None
-    exact_path = os.path.join(
-        HERE,
-        "EXACT_POSTERIOR.json" if tag == "des"
-        else f"EXACT_POSTERIOR_{tag.upper()}.json",
-    )
+    exact_path = os.path.join(HERE, exact_posterior_filename(tag))
     if os.path.isfile(exact_path):
         with open(exact_path) as f:
             exact = json.load(f)
@@ -234,8 +233,15 @@ def main(
         "nwalkers": int(full.shape[1]),
         "ndim": T.NDIM,
         "ndata": T.NDATA,
-        "config": f"{config_yaml} (paper schedule: 4 iterations"
-        " x 10000, T^2=16,4,1,1, nensemble=2, 256 walkers)"
+        # derive the provenance string from the ACTUAL merged config, not a
+        # hardcoded schedule (yaml= is user-suppliable)
+        "config": (
+            f"{config_yaml} ({len(params['ntrainArr'])} iterations x "
+            f"{params['ntrainArr'][0]}, T^2="
+            f"{','.join(str(round(t**2)) for t in params['temperatureArr'])}, "
+            f"nensemble={params.get('nensemble', 1)}, "
+            f"{params['nwalkers']} walkers)"
+        )
         + (f" + overrides {overrides}" if overrides else ""),
     }
     with open(os.path.join(HERE, out), "w") as f:

@@ -20,7 +20,7 @@ from examples.des_theory import SyntheticSurveyTheory
 NDIM = 40
 NDATA = 1560
 # >ndim templates keep the parameter->data map full-rank (des_theory
-# rationale); 64 gives the same 1.6x margin the DES instance uses.
+# rationale); 64 gives a 1.6x margin (DES uses 40/27 = 1.5x).
 N_TEMPLATES = 64
 
 _LSST = SyntheticSurveyTheory(NDIM, NDATA, N_TEMPLATES, seed=2027)

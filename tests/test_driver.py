@@ -144,33 +144,6 @@ def test_driver_cli_usage_error():
     assert "usage" in proc.stderr
 
 
-def test_des_theory_full_rank():
-    """The synthetic DES theory's parameter->data map must have full rank
-    27 with a moderate Fisher condition number — a rank-deficient map makes
-    the true posterior exactly degenerate (unconvergeable by construction,
-    as an earlier 12-template version was)."""
-    import numpy as np
-
-    from examples import des_theory as T
-
-    truth = T.fiducial() + 0.05
-    tv = T.data_vector(truth)
-    sigma = 1.0 * (np.abs(tv) + 0.1)
-    eps = 1e-5
-    J = np.zeros((T.NDATA, T.NDIM))
-    for j in range(T.NDIM):
-        e = np.zeros(T.NDIM)
-        e[j] = eps
-        J[:, j] = (T.data_vector(truth + e) - T.data_vector(truth - e)) / (2 * eps)
-    F = J.T @ np.diag(1.0 / sigma**2) @ J
-    w = np.linalg.eigvalsh(F)
-    assert w[0] > 0
-    assert w[-1] / w[0] < 1e4, f"ill-conditioned Fisher: {w[-1]/w[0]:.1e}"
-    s = np.sqrt(np.diag(np.linalg.inv(F)))
-    # posterior resolvable by the emulator but a genuine inference test
-    assert 0.005 < np.median(s) < 0.2
-
-
 def test_run_from_config_method_arr(tmp_path):
     """methodArr in the config overrides the CLI method with a per-iteration
     sampler list; each iteration's chain layout follows its own method."""
@@ -354,35 +327,21 @@ def test_transform_matrix_end_to_end(tmp_path):
     assert np.all(err < 1.0), err
 
 
-def test_des_theory_jax_parity():
-    """data_vector_jax is the canonical jax mirror of data_vector (used by
-    the exact-posterior reference); the two must agree to f32 precision,
-    including batched evaluation."""
-    import jax.numpy as jnp
-
-    from examples import des_theory as T
-
-    rng = np.random.default_rng(8)
-    xs = rng.uniform(-0.5, 0.5, size=(5, T.NDIM))
-    ref = np.stack([T.data_vector(x) for x in xs])
-    got = np.asarray(T.data_vector_jax(jnp.asarray(xs, jnp.float32)))
-    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
-    # single-row call matches too
-    got1 = np.asarray(T.data_vector_jax(jnp.asarray(xs[0], jnp.float32)))
-    np.testing.assert_allclose(got1, ref[0], rtol=2e-4, atol=2e-4)
 
 
 @pytest.mark.parametrize(
     "mod_name,shape",
-    [("examples.lsst_theory", (40, 1560)),
+    [("examples.des_theory", (27, 457)),
+     ("examples.lsst_theory", (40, 1560)),
      ("examples.des4x2ptn_theory", (31, 630))],
 )
 def test_scaled_theory_full_rank_and_parity(mod_name, shape):
-    """The LSST-Y10-6x2pt+N- and DES-4x2pt+N-scale instantiations
-    (examples/lsst_theory.py, examples/des4x2ptn_theory.py) must satisfy the
-    same contracts as the DES one: full-rank, moderately conditioned Fisher
-    matrix; jax mirror agreeing with the numpy map; picklable theory callable
-    for the pool fan-out."""
+    """Every synthetic analysis class (DES-3x2pt, LSST-Y10-6x2pt+N,
+    DES-4x2pt+N) must satisfy the same contracts: full-rank, moderately
+    conditioned Fisher matrix (a rank-deficient map makes the true posterior
+    exactly degenerate — unconvergeable by construction, as an earlier
+    12-template version was); jax mirror agreeing with the numpy map;
+    picklable theory callable for the pool fan-out."""
     import importlib
     import pickle
 
@@ -423,7 +382,8 @@ def test_scaled_theory_full_rank_and_parity(mod_name, shape):
 
 @pytest.mark.parametrize(
     "yaml_name,theory_mod",
-    [("lsst_synthetic.yaml", "examples.lsst_theory"),
+    [("des_synthetic.yaml", "examples.des_theory"),
+     ("lsst_synthetic.yaml", "examples.lsst_theory"),
      ("des4x2ptn_synthetic.yaml", "examples.des4x2ptn_theory")],
 )
 def test_scaled_config_loads(yaml_name, theory_mod):
@@ -445,3 +405,21 @@ def test_scaled_config_loads(yaml_name, theory_mod):
     theory = getattr(importlib.import_module(mod_name), factory)(params)
     out = theory([0, np.zeros(T.NDIM)], None)
     assert out.shape == (T.NDATA,)
+
+
+def test_bench_naming_contract():
+    """bench_full and bench_exact_posterior link through bench_common's
+    naming: the tag, the exact-posterior artifact filename and the default
+    config must agree for every analysis class, or the emulator-bias
+    decomposition silently compares different posteriors."""
+    import bench_common as B
+
+    assert B.theory_tag("examples.des_theory") == "des"
+    assert B.theory_tag("examples.lsst_theory") == "lsst"
+    assert B.exact_posterior_filename("des") == "EXACT_POSTERIOR.json"
+    assert B.exact_posterior_filename("lsst") == "EXACT_POSTERIOR_LSST.json"
+    for mod in ["examples.des_theory", "examples.lsst_theory",
+                "examples.des4x2ptn_theory"]:
+        tag = B.theory_tag(mod)
+        cfg = os.path.join(REPO, B.default_config_yaml(tag))
+        assert os.path.isfile(cfg), cfg
