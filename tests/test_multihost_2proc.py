@@ -90,3 +90,83 @@ def test_two_process_spmd_pipeline(tmp_path):
     gate1 = __import__("pathlib").Path(gate_base + "1")
     p1_files = [p for p in gate1.rglob("*") if p.is_file()] if gate1.exists() else []
     assert p1_files == [], f"non-primary wrote files: {p1_files}"
+
+
+@pytest.mark.slow
+@pytest.mark.filterwarnings("ignore")
+def test_pod_launch_example_two_processes(tmp_path):
+    """The SHIPPED pod entry point (examples/pod_launch.py), not a test
+    worker: two real processes run the full driver pipeline (training-point
+    generation -> EnsembleTrainer on the cross-process mesh -> walker-sharded
+    emcee) SPMD over one 8-device global mesh against a shared outdir."""
+    inputs = tmp_path / "inputs"
+    inputs.mkdir()
+    means = np.array([0.3, -0.2])
+    np.savetxt(inputs / "data.txt", np.stack([np.arange(2), means], 1))
+    np.savetxt(
+        inputs / "cov_triplet.txt",
+        np.array([[0, 0, 0.0, 0.3], [1, 1, 0.25, 0.25]]),
+    )
+    outdir = tmp_path / "out"
+    # nwalkers=16 is a multiple of 2*8 global devices -> the sampler chunk
+    # runs walker-sharded across both processes
+    (tmp_path / "run.yaml").write_text(
+        f"outdir: {outdir}\n"
+        "theory: identity\n"
+        f"base_dir: {inputs}\n"
+        "data_file: data.txt\ncov_file: cov_triplet.txt\n"
+        "nwalkers: 16\nnnmodel: chto_v2\ntrainingoption: 1\n"
+        "num_epochs: 30\nbatch_size: 16\nntrainArr: [60]\nnvalArr: [15]\n"
+        "nkeepArr: [2]\nntimesArr: [2]\nntautolArr: [0.5]\n"
+        "meanshiftArr: [100]\nstdshiftArr: [100]\ntemperatureArr: [1.0]\n"
+        "seed: 7\n"
+        "sampled_params:\n"
+        "  - {param: x0, dist: flat, arg1: -2.0, arg2: 2.0}\n"
+        "  - {param: x1, dist: flat, arg1: -2.0, arg2: 2.0}\n"
+    )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pod_launch = os.path.join(repo_root, "examples", "pod_launch.py")
+    port = _free_port()
+    env_base = {
+        **os.environ,
+        "PYTHONPATH": repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "LINNA_COORDINATOR_ADDRESS": f"localhost:{port}",
+        "LINNA_NUM_PROCESSES": "2",
+    }
+    # bootstrap pins the platform via jax.config BEFORE pod_launch runs
+    # (belt and braces against environments whose site hooks re-point
+    # JAX_PLATFORMS), then executes the example unmodified
+    boot = (
+        "import sys, jax, runpy; jax.config.update('jax_platforms', 'cpu'); "
+        f"sys.argv = [{pod_launch!r}, 'emcee', {str(tmp_path / 'run.yaml')!r}, "
+        f"{str(tmp_path)!r}]; runpy.run_path({pod_launch!r}, run_name='__main__')"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", boot],
+            env={**env_base, "LINNA_PROCESS_ID": str(k)},
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for k in range(2)
+    ]
+    outs = []
+    for k, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise AssertionError(f"process {k} timed out (deadlocked collective?)")
+        outs.append(out)
+    for k, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {k} failed:\n{out[-4000:]}"
+        assert f"process {k}/2" in out
+        assert f"process {k} driver finished rc=0" in out
+    # the pipeline's shared artifacts exist (written once, by the primary)
+    assert (outdir / "time.npy").exists()
+    assert (outdir / "iter_0" / "chemcee_256.h5").exists()
+    assert (outdir / "iter_0" / "finish.json").exists()
