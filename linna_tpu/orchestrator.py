@@ -129,13 +129,28 @@ def read_chain_and_cut(
     (reference linna/util.py:68-94).  ``ntimes`` is diagnostic only, exactly
     as in the reference (linna/util.py:76-77): a keep factor beyond the
     convergence criterion's tau multiple would reach into burn-in."""
+    import warnings
+
     reader = _open_backend(chainname, method)
     raw = reader.get_chain()
     tau = convergence.integrated_time(raw)
-    nkeep = int(np.nanmedian(tau) * nk)
+    med_tau = np.nanmedian(tau)
+    if not np.isfinite(med_tau):
+        # every parameter's tau estimate is NaN (a short or stuck chain read
+        # outside the converged flow) — int(NaN) would crash after the whole
+        # run finished; keep everything and say so instead
+        warnings.warn(
+            f"all tau estimates are NaN for {chainname}; keeping the full "
+            "chain (burn-in included)",
+            stacklevel=2,
+        )
+        nkeep = len(raw)
+    else:
+        # floor at 1: a well-decorrelated sampler (NUTS measures tau < 1 on
+        # the trained emulator) can give tau*nk < 1, and int() -> 0 would
+        # silently keep the ENTIRE chain via chain[-0:] — burn-in included
+        nkeep = max(int(med_tau * nk), 1)
     if nk > ntimes:
-        import warnings
-
         warnings.warn(
             f"nk={nk} exceeds ntimes={ntimes}: the kept window reaches "
             "beyond the converged span and will include burn-in steps",

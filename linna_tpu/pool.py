@@ -21,6 +21,7 @@ Pools here present the same duck type (``map``, ``is_master``, ``bcast``,
 from __future__ import annotations
 
 import multiprocessing
+import pickle
 from typing import Any, Callable, Iterable, List
 
 __all__ = ["SerialPool", "MultiprocessPool", "MPIPool", "make_pool"]
@@ -72,7 +73,20 @@ class MultiprocessPool:
         return True
 
     def map(self, fn: Callable, tasks: Iterable) -> List[Any]:
-        return self._pool.map(fn, list(tasks))
+        try:
+            return self._pool.map(fn, list(tasks))
+        except (AttributeError, TypeError, pickle.PicklingError) as e:
+            # lambdas/closures pickled fine under the old fork start method
+            # but fail under forkserver/spawn — surface the contract instead
+            # of a bare pickling traceback deep inside the pipeline
+            if "pickl" not in repr(e).lower():
+                raise
+            raise RuntimeError(
+                f"MultiprocessPool workers use a forkserver/spawn start "
+                f"method (fork deadlocks under multithreaded JAX), so the "
+                f"mapped callable must be picklable — a module-level "
+                f"function, not a lambda or closure (got {fn!r})"
+            ) from e
 
     def bcast(self, fn: Callable, args: Any = None) -> None:
         pass
@@ -229,8 +243,24 @@ class MPIPool:
                 old_func = None
                 continue
             if func == "__bcast__":
+                # bcast has no reply channel, so an exception here cannot be
+                # shipped back — but letting it propagate would kill the
+                # worker loop and deadlock the master's next map() (the very
+                # hang class the _TaskError protocol exists to prevent).
+                # Report on the worker's stderr and stay alive.
                 f, a = arg
-                f(a)
+                try:
+                    f(a)
+                except Exception:
+                    import sys
+                    import traceback
+
+                    print(
+                        f"MPI worker {self.rank}: bcast callback failed "
+                        f"(worker continues):\n{traceback.format_exc()}",
+                        file=sys.stderr,
+                        flush=True,
+                    )
                 continue
             if func == self._REUSE:
                 func = old_func

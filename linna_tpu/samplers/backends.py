@@ -188,14 +188,17 @@ class ZeusBackend(_SamplerStateMixin):
         """Committed step count: the ``iteration`` root attr, written LAST
         in append so it bounds every read past a torn multi-dataset write
         (the same transactional trick EmceeBackend uses).  Files written
-        before the attr existed fall back to the shortest dataset — the
-        only bound that is always consistent."""
+        before the attr existed fall back to the shortest dataset, counting
+        a MISSING dataset as length 0: a kill during the first-ever append
+        can persist ``samples`` without ``logprob``, and a min over only the
+        present keys would commit the torn rows — the next append would then
+        create ``logprob`` starting at the new offset, permanently
+        misaligning chain and log-prob reads."""
         if "iteration" in f.attrs:
             return int(f.attrs["iteration"])
         return min(
-            int(f[k].shape[0])
+            int(f[k].shape[0]) if k in f else 0
             for k in ("samples", "chain_transformed", "logprob")
-            if k in f
         )
 
     @property

@@ -231,24 +231,49 @@ def run_ensemble(
         if resume and MH.primary_flag(os.path.isfile(pfile)):
             # primary loads, values ship bit-exactly (full f64) to all hosts
             # — a pod host with a lagging filesystem view neither crashes on
-            # the read nor samples in a numerically different whitened space
+            # the read nor samples in a numerically different whitened space.
+            # A corrupt/truncated file (pre-atomic-write versions could tear
+            # it) loads as None and falls through to a fresh MAP search —
+            # broadcast, so every pod host takes the same branch.
             def _load_precond():
-                z = np.load(pfile)
-                return z["center"], z["basis"], z["scales"]
+                try:
+                    z = np.load(pfile)
+                    return z["center"], z["basis"], z["scales"]
+                except Exception:
+                    return None
 
-            center, basis, scales = MH.broadcast_from_primary(_load_precond)
-            precond = precondition.Preconditioner(center, basis, scales)
-        else:
+            payload = MH.broadcast_from_primary(_load_precond)
+            if payload is None:
+                # the saved sampler state's coords/step sizes live in the OLD
+                # preconditioned space — restoring them against a freshly
+                # computed basis would silently misplace every walker; resume
+                # statistically from the chain positions instead
+                state_blob = None
+                warnings.warn(
+                    f"unreadable {PRECOND_FILENAME}; re-running the MAP "
+                    "search and resuming statistically from the chain "
+                    "positions (the chain continues in a fresh "
+                    "preconditioned space)",
+                    stacklevel=2,
+                )
+            else:
+                precond = precondition.Preconditioner(*payload)
+        if precond is None:
             precond = precondition.calc_hess_mass_mat(
                 log_prob_fn, np.mean(x0, axis=0)
             )
             if MH.is_primary():
+                # atomic: a crash mid-savez would leave a truncated file that
+                # passes the isfile gate forever and bricks every resume of
+                # this chain (np.load -> BadZipFile inside the primary loader)
+                tmp = pfile + ".tmp.npz"  # keep .npz so savez doesn't rename
                 np.savez(
-                    pfile,
+                    tmp,
                     center=precond.center,
                     basis=precond.basis,
                     scales=precond.scales,
                 )
+                os.replace(tmp, pfile)
         log_prob_fn = precond.wrap_log_prob(log_prob_fn)
 
     lp_fn, lp_env = _lp_split(log_prob_fn)

@@ -56,6 +56,40 @@ def test_read_chain_and_cut_walkercut(tmp_path):
     assert cut_chain.shape[0] == full_chain.shape[0] * (nwalkers - len(stuck)) // nwalkers
 
 
+def test_read_chain_and_cut_nkeep_floor_and_nan_tau(tmp_path, monkeypatch):
+    """tau*nk < 1 must keep ONE step, not the whole chain: a well-decorrelated
+    sampler (NUTS measures tau < 1 on the trained emulator) made int(tau*nk)=0
+    reachable, and chain[-0:] silently returned everything, burn-in included.
+    All-NaN tau must warn and keep the full chain instead of crashing on
+    int(NaN)."""
+    import warnings
+
+    from linna_tpu.orchestrator import read_chain_and_cut
+    from linna_tpu.samplers.backends import EmceeBackend
+
+    rng = np.random.default_rng(0)
+    nsteps, nwalkers, ndim = 300, 4, 2
+    chain = rng.normal(size=(nsteps, nwalkers, ndim))  # white noise: tau ~ 1
+    logp = rng.normal(size=(nsteps, nwalkers))
+    path = str(tmp_path / "chemcee_256.h5")
+    b = EmceeBackend(path)
+    b.reset(nwalkers, ndim)
+    b.append(chain, logp, np.zeros(nwalkers), transform=lambda c: c)
+
+    cut, _, _ = read_chain_and_cut(path, nk=0.3)  # tau*nk < 1
+    assert cut.shape[0] == nwalkers  # exactly one kept step, flattened
+
+    monkeypatch.setattr(
+        "linna_tpu.samplers.convergence.integrated_time",
+        lambda raw, **kw: np.full(ndim, np.nan),
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cut, _, _ = read_chain_and_cut(path, nk=2)
+    assert any("NaN" in str(x.message) for x in w)
+    assert cut.shape[0] == nsteps * nwalkers  # full chain, no crash
+
+
 def test_importance_weights_downweight_biased_emulator(tmp_path):
     """w = exp(logp_true - logp_emulator), normalized, with >2-sigma
     log-weight outliers zeroed (reference linna/main.py:313-331): a point

@@ -165,6 +165,20 @@ def test_multiprocess_pool_map_order_and_theory_task():
         p.close()
 
 
+def test_multiprocess_pool_unpicklable_callable_error():
+    """Lambdas/closures worked under the old fork start method but cannot
+    cross a forkserver/spawn boundary — the failure must name the contract,
+    not surface as a bare pickling traceback mid-pipeline."""
+    import pytest
+
+    p = MultiprocessPool(processes=2)
+    try:
+        with pytest.raises(RuntimeError, match="picklable"):
+            p.map(lambda x: x, [1, 2, 3])
+    finally:
+        p.close()
+
+
 # ----------------------------------------------------------------------- MPI
 
 
@@ -232,6 +246,26 @@ def test_mpi_worker_wait_loop_protocol():
     pool.wait()
     assert comm.sent == [(0, 0, (7, 9)), (0, 0, (8, 16)), (0, 0, (9, 25))]
     assert side == ["hi"]
+
+
+def _bcast_boom(a):
+    raise ValueError("bcast boom")
+
+
+def test_mpi_worker_survives_bcast_exception(capsys):
+    """A raising bcast callback must not kill the worker loop: bcast has no
+    reply channel, so a dead worker surfaces only as the master's next map()
+    hanging in recv — the exact hang class _TaskError exists to prevent."""
+    script = [
+        (0, ("__bcast__", 0, (_bcast_boom, None))),  # raises on the worker
+        (0, (_square, 0, 3)),                        # worker must still run this
+        (0, None),
+    ]
+    comm = _FakeWorkerComm(script)
+    pool = MPIPool(comm=comm, mpi=_FakeMPI)
+    pool.wait()  # must not raise
+    assert comm.sent == [(0, 0, (0, 9))]
+    assert "bcast callback failed" in capsys.readouterr().err
 
 
 def _raise_on_three(x):

@@ -1,6 +1,8 @@
 """Sampler correctness: both ensemble moves recover a known Gaussian, the
 convergence diagnostics behave, and the HDF5 backends resume."""
 
+import os
+
 import numpy as np
 import numpy.testing as npt
 import jax
@@ -158,6 +160,34 @@ def test_zeus_backend_torn_append_is_bounded(tmp_path):
     assert b.iteration == 15
     npt.assert_allclose(b.get_chain()[10:], chain2)
     assert not np.any(b.get_chain() == 999.0)
+
+
+def test_zeus_backend_torn_first_append(tmp_path):
+    """A kill during the FIRST-ever append (``samples`` persisted, ``logprob``
+    and the iteration attr not) must count as zero committed steps: treating
+    the torn rows as committed would let the next append create ``logprob``
+    at the wrong offset — permanently misaligned chain vs log-prob reads."""
+    import h5py
+
+    path = str(tmp_path / "z.h5")
+    rng = np.random.default_rng(1)
+    torn = rng.normal(size=(10, 4, 2))
+    with h5py.File(path, "w") as f:  # simulate the torn first append
+        f.create_dataset(
+            "samples", data=torn, compression="gzip", chunks=True,
+            maxshape=(None, 4, 2),
+        )
+    b = backends.ZeusBackend(path)
+    assert b.iteration == 0
+    assert not b.initialized
+
+    chain = rng.normal(size=(5, 4, 2))
+    lp = rng.normal(size=(5, 4))
+    b.append(chain, lp)
+    assert b.iteration == 5
+    assert b.get_chain().shape == (5, 4, 2)
+    assert b.get_log_prob().shape == (5, 4)  # aligned, torn rows overwritten
+    npt.assert_allclose(b.get_chain(), chain)
 
 
 def test_zeus_requires_four_walkers(tmp_path):
@@ -340,6 +370,35 @@ def test_exact_resume_matches_uninterrupted(tmp_path, method, monkeypatch):
     )
     np.testing.assert_array_equal(resumed.get_chain(), full.get_chain())
     np.testing.assert_array_equal(resumed.get_log_prob(), full.get_log_prob())
+
+
+def test_corrupt_precond_file_recomputes_instead_of_bricking(tmp_path):
+    """A truncated/corrupt precond.npz (pre-atomic-write versions could tear
+    it mid-savez) must fall back to a fresh MAP search with a warning, not
+    crash every subsequent resume of the chain (np.load -> BadZipFile)."""
+    import jax.numpy as jnp
+
+    def log_prob(x):
+        return -0.5 * jnp.sum((x - 0.3) ** 2, axis=-1)
+
+    x0 = np.asarray(
+        0.2 * np.random.default_rng(0).standard_normal((16, 2)), np.float32
+    )
+    outdir = str(tmp_path / "nuts")
+    kw = dict(
+        method="nuts", ntimes=1e6, tautol=1e-8, meanshift=1e-8, stdshift=1e-8,
+        check_every=10, seed=3, shard_walkers=False, m_adapt=15,
+    )
+    run.run_ensemble(log_prob, x0, outdir, max_iterations=10, **kw)
+    with open(os.path.join(outdir, run.PRECOND_FILENAME), "wb") as f:
+        f.write(b"not an npz")  # simulate a torn write
+
+    with pytest.warns(UserWarning, match="unreadable"):
+        backend = run.run_ensemble(log_prob, x0, outdir, max_iterations=20, **kw)
+    assert backend.iteration == 20  # extended, not crashed
+    # the recomputed preconditioner was rewritten and is loadable again
+    z = np.load(os.path.join(outdir, run.PRECOND_FILENAME))
+    assert z["center"].shape == (2,)
 
 
 @pytest.mark.parametrize("method", ["emcee", "zeus"])
