@@ -186,9 +186,16 @@ def fit_y_transform(
 
 
 def save_transforms(path: str, ts: TransformSet) -> None:
-    """Persist the full transform set as one ``.npz`` artifact."""
+    """Persist the full transform set as one ``.npz`` artifact.
+
+    Atomic (tmp + rename) like utils.checkpoint: the file is read by every
+    later retrieval of this iteration's emulator, and a torn write would
+    fail those loads until someone deletes it by hand."""
+    import os
+
+    tmp = path + ".tmp.npz"  # keep .npz so savez doesn't append a suffix
     np.savez(
-        path,
+        tmp,
         x_mean=np.asarray(ts.x_transform.mean),
         x_std=np.asarray(ts.x_transform.std),
         x_log10_mask=np.asarray(ts.x_transform.log10_mask),
@@ -197,6 +204,7 @@ def save_transforms(path: str, ts: TransformSet) -> None:
         y_positive=np.array(ts.y_transform.ypositive),
         sigma=np.asarray(ts.y_data.sigma),
     )
+    os.replace(tmp, path)
 
 
 def load_transforms(path: str) -> TransformSet:
