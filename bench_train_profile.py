@@ -33,7 +33,7 @@ EPOCHS = 30
 K = 2
 
 
-def main(compute_dtype="bfloat16"):
+def main(compute_dtype="bfloat16", ndim=NDIM, ndata=NDATA, out_file="TRAIN_PROFILE.json"):
     import jax
 
     from linna_tpu.orchestrator import _enable_compile_cache
@@ -47,6 +47,7 @@ def main(compute_dtype="bfloat16"):
     from linna_tpu import transforms as T
     from linna_tpu.train import _make_optimizer
 
+    NDIM, NDATA = int(ndim), int(ndata)  # shape override (LSST: 40/1560)
     rng = np.random.default_rng(0)
     w = rng.standard_normal((NDIM, NDATA)) / np.sqrt(NDIM)
     tx = np.asarray(rng.uniform(-1, 1, (N_TRAIN, NDIM)), np.float32)
@@ -77,7 +78,10 @@ def main(compute_dtype="bfloat16"):
     n = tx.shape[0]
     nb = n // BATCH
 
-    def epochs_program(params, opt_state, key, *, do_val, do_opt, do_bwd):
+    # data rides as ARGUMENTS, not closure captures: captured arrays embed
+    # as HLO literals and the LSST-shape train set (40000 x 1560 f32 ~250 MB)
+    # blows past the remote-compile request limit (HTTP 413)
+    def epochs_program(params, opt_state, key, tx, ty, vx, vy, *, do_val, do_opt, do_bwd):
         def one_epoch(carry, ekey):
             params, opt_state = carry
             perm = jax.random.permutation(ekey, n)[: nb * BATCH].reshape(nb, BATCH)
@@ -107,7 +111,7 @@ def main(compute_dtype="bfloat16"):
         ekeys = jax.random.split(key, EPOCHS)
         return jax.lax.scan(one_epoch, (params, opt_state), ekeys)
 
-    def carry_only(params, opt_state, key):
+    def carry_only(params, opt_state, key, tx, ty, vx, vy):
         def one_epoch(carry, ekey):
             params, opt_state = carry
 
@@ -123,7 +127,7 @@ def main(compute_dtype="bfloat16"):
         ekeys = jax.random.split(key, EPOCHS)
         return jax.lax.scan(one_epoch, (params, opt_state), ekeys)
 
-    def megabatch(params, key):
+    def megabatch(params, key, tx, ty):
         def one_epoch(carry, ekey):
             p = carry
             loss, grads = jax.value_and_grad(member_loss)(p, tx, ty)
@@ -152,16 +156,22 @@ def main(compute_dtype="bfloat16"):
         return (time.perf_counter() - t0) / EPOCHS
 
     for name, fn in variants.items():
-        vf = jax.jit(jax.vmap(fn, in_axes=(0, 0, None)))
-        s = timeit(vf, params, opt_state, key)
+        vf = jax.jit(jax.vmap(fn, in_axes=(0, 0, None, None, None, None, None)))
+        s = timeit(vf, params, opt_state, key, tx, ty, vx, vy)
         out[name] = round(s * 1e3, 2)
         print(f"{name}: {s * 1e3:.2f} ms/epoch", flush=True)
 
-    s = timeit(jax.jit(jax.vmap(carry_only, in_axes=(0, 0, None))), params, opt_state, key)
+    s = timeit(
+        jax.jit(jax.vmap(carry_only, in_axes=(0, 0, None, None, None, None, None))),
+        params, opt_state, key, tx, ty, vx, vy,
+    )
     out["carry_only"] = round(s * 1e3, 2)
     print(f"carry_only: {s * 1e3:.2f} ms/epoch", flush=True)
 
-    s = timeit(jax.jit(jax.vmap(megabatch, in_axes=(0, None))), params, key)
+    s = timeit(
+        jax.jit(jax.vmap(megabatch, in_axes=(0, None, None, None))),
+        params, key, tx, ty,
+    )
     out["megabatch"] = round(s * 1e3, 2)
     print(f"megabatch: {s * 1e3:.2f} ms/epoch", flush=True)
 
@@ -174,7 +184,7 @@ def main(compute_dtype="bfloat16"):
         "platform": jax.devices()[0].platform,
         **out,
     }
-    with open("TRAIN_PROFILE.json", "w") as f:
+    with open(out_file, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
 
@@ -182,4 +192,12 @@ def main(compute_dtype="bfloat16"):
 if __name__ == "__main__":
     import sys
 
-    main(None if "f32" in sys.argv else "bfloat16")
+    # CLI: [f32] [ndim=D] [ndata=N] [out=FILE.json] — shape overrides let the
+    # same probe ladder run at any analysis class (LSST: ndim=40 ndata=1560)
+    kv = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+    main(
+        None if "f32" in sys.argv else "bfloat16",
+        ndim=int(kv.get("ndim", NDIM)),
+        ndata=int(kv.get("ndata", NDATA)),
+        out_file=kv.get("out", "TRAIN_PROFILE.json"),
+    )
