@@ -15,6 +15,19 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# Disable JAX's persistent compilation cache for the whole test session
+# (subprocess tests inherit this; orchestrator._enable_compile_cache honors
+# "0").  Long test sessions that READ cached executables segfault inside
+# jaxlib's ``backend.deserialize_executable`` (observed twice at different
+# tests, ~40 min in, identical stack through compilation_cache.py
+# get_executable_and_time; entries were zstd-intact and a 300-executable
+# write+read probe passes, so it is a deserialization bug for specific
+# program/backend states, not file corruption).  Tests never need cross-run
+# compile reuse; production paths (bench.py, bench_full.py — short-lived
+# processes) keep the cache and have not reproduced the crash.
+os.environ["LINNA_COMPILE_CACHE"] = "0"
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
+
 # The container's sitecustomize registers a tunneled TPU backend and forces
 # jax_platforms="axon,cpu" regardless of the env var — override it back to
 # CPU before any computation runs.
