@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -186,10 +187,17 @@ def train_emulator(
     usebest: bool = False,
     seed: int = 1234,
     verbose: bool = False,
+    trace_rec: Optional[dict] = None,
 ) -> None:
     """In-process equivalent of the reference's pickled ``train_NN``
     subprocess (linna/util.py:1315-1472 + linna/train_gpu.py): stack all
-    iterations' data, curate, fit transforms, train, drop a finish marker."""
+    iterations' data, curate, fit transforms, train, drop a finish marker.
+
+    ``trace_rec``: optional mutable dict (the record yielded by
+    ``PhaseTimer.phase``) that receives this call's wall-time breakdown —
+    data stack/curate/transform-fit seconds, the trainer's internal
+    sub-phases and the epoch count — so every flagship run's ``trace.json``
+    explains its own training wall (SURVEY §5.1)."""
     # file gates broadcast from the primary: per-host filesystem views can
     # lag on a shared filesystem, and a host that disagrees here would skip
     # (or join late) the global-mesh training collectives below — deadlock
@@ -214,6 +222,7 @@ def train_emulator(
     # reads identical bytes — unlike the sampler's mid-run reads of a file
     # the primary still holds open (those go through the primary-only
     # loader).  Broadcasting the ~100 MB stacks would cost more than it buys.
+    t0 = time.perf_counter()
     stack = D.curate(D.load_iteration_stack(outdir_list, usebest=usebest), ypositive)
     x_transform = T.fit_x_transform(stack.train_x, dolog10index)
     y_data = T.YTransformData(jax.numpy.asarray(sigma, dtype=jax.numpy.float32))
@@ -222,6 +231,8 @@ def train_emulator(
     transforms = T.TransformSet(x_transform, y_transform, y_data)
     if MH.is_primary():
         T.save_transforms(os.path.join(outdir_in, TRANSFORMS_FILE), transforms)
+    if trace_rec is not None:
+        trace_rec["stack_fit_s"] = round(time.perf_counter() - t0, 3)
 
     loss_state = L.build_loss_state(data_vec, cov, transforms)
     spec = N.make_model_spec(
@@ -257,28 +268,48 @@ def train_emulator(
     if use_mesh:
         from .parallel.ensemble import EnsembleTrainer
 
+        t0 = time.perf_counter()
         trainer = EnsembleTrainer(
             spec, transforms, loss_state, member_dirs, seeds,
             compute_dtype=train_cdtype,
         )
+        if trace_rec is not None:
+            # eager member-init device ops (init_model + vmapped optimizer
+            # init) — on a tunneled device these pay per-op round trips
+            trace_rec["trainer_init_s"] = round(time.perf_counter() - t0, 3)
         trainer.train(
             stack.train_x, stack.train_y, stack.val_x, stack.val_y, **train_kwargs
         )
+        if trace_rec is not None:
+            trace_rec["trainer"] = {
+                k: round(v, 3) for k, v in trainer.phase_seconds.items()
+            }
+            trace_rec["epochs_run"] = trainer.epochs_run
     elif MH.is_primary():
         # the serial Trainer is a single-host program with no global-mesh
         # collectives — on a pod only the primary runs it (every host
         # training would race the same shared checkpoint files); the others
         # wait at the barrier below and read the primary's artifacts
-        for member_dir, member_seed in zip(member_dirs, seeds):
+        for mi, (member_dir, member_seed) in enumerate(zip(member_dirs, seeds)):
             os.makedirs(member_dir, exist_ok=True)
+            t0 = time.perf_counter()
             trainer = Trainer(
                 spec, transforms, loss_state, outdir=member_dir,
                 seed=member_seed, compute_dtype=train_cdtype,
             )
+            if trace_rec is not None:
+                trace_rec[f"trainer_init_s_m{mi}"] = round(
+                    time.perf_counter() - t0, 3
+                )
             trainer.train(
                 stack.train_x, stack.train_y, stack.val_x, stack.val_y,
                 **train_kwargs,
             )
+            if trace_rec is not None:
+                trace_rec[f"trainer_m{mi}"] = {
+                    k: round(v, 3) for k, v in trainer.phase_seconds.items()
+                }
+                trace_rec[f"epochs_run_m{mi}"] = trainer.epochs_run
     if MH.is_primary():
         _write_finish(finish_path)
     # non-primary pod hosts proceed only once the primary's checkpoints and
@@ -639,9 +670,8 @@ def ml_sampler_core(
 
         if is_master:
             outdir_list = [os.path.join(outdir, f"iter_{m}/") for m in range(i + 1)]
-            with timer.phase("train_emulator", iteration=i), device_profile(
-                f"train_iter{i}"
-            ):
+            with timer.phase("train_emulator", iteration=i) as trec, \
+                    device_profile(f"train_iter{i}"):
                 if params.get("train_subprocess"):
                     # process-separated mode (reference train_gpu.py handoff,
                     # linna/main.py:186-252) — crash isolation / CLI parity.
@@ -668,6 +698,7 @@ def ml_sampler_core(
                         params,
                         usebest=nbest_in is not None,
                         verbose=verbose,
+                        trace_rec=trec,
                     )
 
             # skip MCMC when this iteration's chain already exists

@@ -33,6 +33,7 @@ along a leading axis and advances them together:
 from __future__ import annotations
 
 import os
+import time
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
@@ -407,8 +408,16 @@ class EnsembleTrainer:
             for d in self.outdirs:
                 os.makedirs(d, exist_ok=True)
 
+        # wall-time breakdown of this call (read by train_emulator into
+        # trace.json; same keys as Trainer.train)
+        ps = self.phase_seconds = {
+            "auto_lr": 0.0, "dispatch": 0.0, "wait_fetch": 0.0,
+            "supervisor": 0.0, "save": 0.0, "plot": 0.0,
+        }
         if auto_lr:
+            t0 = time.perf_counter()
             self.lr = self._auto_lr(train_x, train_y)
+            ps["auto_lr"] += time.perf_counter() - t0
         self.lr = self.lr * lr_scale
         if initfrombest:
             for m in range(self.n_members):
@@ -433,6 +442,7 @@ class EnsembleTrainer:
             for m in range(self.n_members):
                 self.member_keys[m], ek = jax.random.split(self.member_keys[m])
                 ekeys.append(ek)
+            t0 = time.perf_counter()
             (
                 self.params, self.opt_state, losses_k, vms_k, eigs_k,
                 chunk_best_val, chunk_best_params,
@@ -452,9 +462,12 @@ class EnsembleTrainer:
             # member rows are sharded across hosts) — the Supervisor decisions
             # below must match on all hosts for SPMD dispatch to stay aligned.
             # One batched fetch for all four values: one round trip, not four.
+            t1 = time.perf_counter()
+            ps["dispatch"] += t1 - t0
             losses_k, vms_k, eigs_k, cbv = MH.fetch(
                 (losses_k, vms_k, eigs_k, chunk_best_val)
             )
+            ps["wait_fetch"] += time.perf_counter() - t1
             vms_k = vms_k.astype(np.float64)  # [K, k, 3]
             nb = losses_k.shape[-1]  # losses_k: [K, k, nb]
             cbv = cbv.astype(np.float64)  # [K]
@@ -480,6 +493,7 @@ class EnsembleTrainer:
             # host supervisors: same decision machine as the serial Trainer,
             # one per member; params-replacing interventions write into the
             # member's row of the stacked state
+            t0 = time.perf_counter()
             intervened = [False] * self.n_members
             hyper_changed = False
             for j in range(k):
@@ -514,15 +528,19 @@ class EnsembleTrainer:
                         hyper_changed = True
             if hyper_changed:
                 self._set_hypers()
+            ps["supervisor"] += time.perf_counter() - t0
 
             i += k
+            t0 = time.perf_counter()
             self._save(i - 1)
+            ps["save"] += time.perf_counter() - t0
             # coarse plot cadence: each matplotlib render is ~0.5-1 s of
             # host time serial with training (K figures per refresh); the
             # final trainniing.png is always written below
             if last_plot == 0 or i - last_plot >= 500:
                 last_plot = i
                 if MH.is_primary():
+                    t0 = time.perf_counter()
                     for m, d in enumerate(self.outdirs):
                         plots.plot_training_progress(
                             train_losses[m],
@@ -530,9 +548,14 @@ class EnsembleTrainer:
                             os.path.join(d, "training_progress.png"),
                             batches_per_epoch=max(nb, 1),
                         )
+                    ps["plot"] += time.perf_counter() - t0
 
+        self.epochs_run = i
+        t0 = time.perf_counter()
         self._save(num_epochs - 1, force=True)
+        ps["save"] += time.perf_counter() - t0
         if MH.is_primary():
+            t0 = time.perf_counter()
             for m, d in enumerate(self.outdirs):
                 plots.plot_training_progress(
                     train_losses[m],
@@ -540,4 +563,5 @@ class EnsembleTrainer:
                     os.path.join(d, "trainniing.png"),
                     batches_per_epoch=max(nb, 1),
                 )
+            ps["plot"] += time.perf_counter() - t0
         return train_losses, val_metrics

@@ -28,6 +28,7 @@ recompile.
 from __future__ import annotations
 
 import os
+import time
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -509,8 +510,16 @@ class Trainer:
         if epochs_per_dispatch is not None:
             self.epochs_per_dispatch = max(int(epochs_per_dispatch), 1)
 
+        # wall-time breakdown of this call (read by train_emulator into
+        # trace.json: SURVEY §5.1's "per-phase timing from the start")
+        ps = self.phase_seconds = {
+            "auto_lr": 0.0, "dispatch": 0.0, "wait_fetch": 0.0,
+            "supervisor": 0.0, "save": 0.0, "plot": 0.0,
+        }
         if auto_lr:
+            t0 = time.perf_counter()
             self.lr = lr_range_test(self, train_x, train_y, outdir=self.outdir)
+            ps["auto_lr"] += time.perf_counter() - t0
         self.lr *= lr_scale
         if initfrombest:
             self.load_best()
@@ -525,6 +534,7 @@ class Trainer:
         while i < num_epochs and not sup.stopped:
             k = min(self.epochs_per_dispatch, num_epochs - i)
             self.key, ekey = jax.random.split(self.key)
+            t0 = time.perf_counter()
             (
                 self.params, self.opt_state, losses_k, vms_k, eigs_k,
                 chunk_best_val, chunk_best_params,
@@ -532,12 +542,15 @@ class Trainer:
                 self.params, self.opt_state, ekey, train_x, train_y, val_x, val_y,
                 k, self.transforms, self.loss_state,
             )
+            t1 = time.perf_counter()
+            ps["dispatch"] += t1 - t0
             # one batched device->host transfer (device_get overlaps the
             # per-leaf copies) instead of three sequential blocking ones —
             # each blocking copy pays a full round trip on a tunneled device
             losses_k, vms_k, eigs_k, chunk_best_val = jax.device_get(
                 (losses_k, vms_k, eigs_k, chunk_best_val)
             )
+            ps["wait_fetch"] += time.perf_counter() - t1
             losses_k = np.asarray(losses_k)
             vms_k = np.asarray(vms_k, dtype=np.float64)
             eigs_k = np.asarray(eigs_k)
@@ -551,6 +564,7 @@ class Trainer:
             # params-replacing intervention wins and the rest of the chunk's
             # trajectory is discarded (interventions are rare — the chunked
             # cadence matches the reference's per-epoch checks in practice)
+            t0 = time.perf_counter()
             intervened = False
             for j in range(k):
                 batch_losses = losses_k[j]
@@ -576,8 +590,12 @@ class Trainer:
                     self.lr, self.wd = sup.lr, sup.wd
                     self.opt_state = _set_hyper(self.opt_state, self.lr, self.wd)
 
+            ps["supervisor"] += time.perf_counter() - t0
+
             i += k
+            t0 = time.perf_counter()
             self._save(i - 1, False)
+            ps["save"] += time.perf_counter() - t0
 
             # training_progress.png periodically (the reference refreshed
             # every ~100 epochs, linna/predictor_gpu.py:422-442; each
@@ -586,15 +604,21 @@ class Trainer:
             # trainniing.png below is always written)
             if self.outdir is not None and i - last_plot >= 500:
                 last_plot = i
+                t0 = time.perf_counter()
                 plots.plot_training_progress(
                     train_losses, val_metrics,
                     os.path.join(self.outdir, "training_progress.png"),
                     batches_per_epoch=max(losses_k.shape[-1], 1),
                 )
+                ps["plot"] += time.perf_counter() - t0
 
+        self.epochs_run = i
+        t0 = time.perf_counter()
         self._save(num_epochs - 1, False, force=True)
+        ps["save"] += time.perf_counter() - t0
         if self.outdir is not None:
             # final summary plot; reference filename kept (linna/util.py:1288)
+            t0 = time.perf_counter()
             plots.plot_training_progress(
                 train_losses, val_metrics,
                 os.path.join(self.outdir, "trainniing.png"),
@@ -602,6 +626,7 @@ class Trainer:
                     int(train_x.shape[0]) // self._batch_size, 1
                 ),
             )
+            ps["plot"] += time.perf_counter() - t0
         return np.array(train_losses), np.array(val_metrics)
 
     # ------------------------------------------------------------- inference

@@ -44,13 +44,16 @@ class PhaseTimer:
                 self._history = [{"phase": "_corrupt_trace_dropped"}]
 
     @contextlib.contextmanager
-    def phase(self, name: str, **meta) -> Iterator[None]:
+    def phase(self, name: str, **meta) -> Iterator[Dict]:
+        # yields the record dict so the body can attach extra meta (e.g. the
+        # trainer's internal sub-phase breakdown) before it is persisted
+        rec = {"phase": name, "seconds": 0.0, "t_end": 0.0, **meta}
         t0 = time.perf_counter()
         try:
-            yield
+            yield rec
         finally:
-            rec = {"phase": name, "seconds": time.perf_counter() - t0,
-                   "t_end": time.time(), **meta}
+            rec["seconds"] = time.perf_counter() - t0
+            rec["t_end"] = time.time()
             self.records.append(rec)
             self._flush()
 

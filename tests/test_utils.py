@@ -43,14 +43,16 @@ def test_save_dict_to_json_and_logger(tmp_path):
 
 def test_phase_timer_persists_and_accumulates(tmp_path):
     t = PhaseTimer(str(tmp_path))
-    with t.phase("train", iteration=0):
-        pass
+    with t.phase("train", iteration=0) as rec:
+        rec["detail"] = {"sub": 1.0}  # bodies may attach meta to the record
     with t.phase("train", iteration=1):
         pass
     with t.phase("mcmc"):
         pass
     trace = json.loads((tmp_path / "trace.json").read_text())
     assert [r["phase"] for r in trace] == ["train", "train", "mcmc"]
+    assert trace[0]["detail"] == {"sub": 1.0}
+    assert trace[0]["seconds"] >= 0.0
     assert set(t.summary()) == {"train", "mcmc"}
     # resume: a fresh timer appends rather than truncates
     t2 = PhaseTimer(str(tmp_path))
@@ -108,6 +110,15 @@ def test_pipeline_writes_trace_and_plots(tmp_path):
     trace = json.loads(open(os.path.join(outdir, "trace.json")).read())
     phases = {r["phase"] for r in trace}
     assert {"generate_training_point", "train_emulator", "mcmc"} <= phases
+    # the train record must explain its own wall: data-prep seconds plus the
+    # trainer's internal sub-phase breakdown and epoch count
+    trec = next(r for r in trace if r["phase"] == "train_emulator")
+    assert "stack_fit_s" in trec
+    tkey = "trainer" if "trainer" in trec else "trainer_m0"
+    assert {"auto_lr", "dispatch", "wait_fetch", "supervisor", "save"} <= set(
+        trec[tkey]
+    )
+    assert trec.get("epochs_run", trec.get("epochs_run_m0")) == 8
     assert os.path.isfile(os.path.join(outdir, "iter_0", "lr_tunning.png"))
     assert os.path.isfile(os.path.join(outdir, "iter_0", "trainniing.png"))
 
