@@ -28,6 +28,7 @@ __all__ = [
     "save_samples_y",
     "load_iteration_stack",
     "curate",
+    "load_curated_stack",
 ]
 
 
@@ -165,4 +166,113 @@ def curate(data: TrainingData, ypositive: bool = False) -> TrainingData:
         train_y = np.clip(train_y, -1e5, 1e10)
         val_y = np.clip(val_y, -1e5, 1e8)
         y_stats = np.clip(y_stats, -1e5, 1e10)
+    return TrainingData(train_x, train_y, val_x, val_y, y_stats)
+
+
+# ------------------------------------------------------------- cached loader
+
+# Per-directory cache of curated split arrays, keyed by the sample files'
+# (size, mtime_ns).  The orchestrator re-stacks ALL previous iterations'
+# data every iteration (reference linna/util.py:1342-1373) although those
+# files are immutable once written — measured at the LSST flagship shape
+# the redundant reload + f64 clip copies cost 145 s of the 587 s training
+# wall (trace.json stack_fit_s).  Default-mode curation is a fixed
+# per-element clip, so per-directory curated arrays are reusable verbatim;
+# the ypositive sentinel-median replacement couples rows to the FULL stack
+# and is recomputed on the stacked result (cheap).  Cached train/val arrays
+# are float32 (what the trainer feeds the device anyway); the f64 stats set
+# keeps the reference's transform-fit precision.  Entries are read-only
+# views (writes raise) so a caller can't corrupt a future iteration's stack.
+_DIR_CACHE: dict = {}
+
+
+def _file_key(path: str):
+    st = os.stat(path)
+    return (st.st_size, st.st_mtime_ns)
+
+
+def _load_curated_dir(outdir: str, ypositive: bool):
+    """Curated (train_x, train_y, val_x, val_y, y_raw_f64) for ONE iteration
+    directory, cached on the four sample files' identity."""
+    files = [
+        sample_x_path(outdir, "train"), sample_y_path(outdir, "train"),
+        sample_x_path(outdir, "val"), sample_y_path(outdir, "val"),
+    ]
+    key = (ypositive,) + tuple(_file_key(f) for f in files)
+    hit = _DIR_CACHE.get(outdir)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    tx = np.loadtxt(files[0], ndmin=2)
+    ty_raw = np.atleast_2d(np.load(files[1]))
+    vx = np.loadtxt(files[2], ndmin=2)
+    vy_raw = np.atleast_2d(np.load(files[3]))
+    if len(tx) != len(ty_raw) or len(vx) != len(vy_raw):
+        raise ValueError(
+            f"misaligned sample artifacts under {outdir}: "
+            f"{len(tx)}/{len(ty_raw)} train, {len(vx)}/{len(vy_raw)} val rows"
+        )
+    if ypositive:
+        ty = np.clip(ty_raw, 1e-30, 1e10).astype(np.float32)
+        vy = np.clip(vy_raw, 1e-30, 1e10).astype(np.float32)
+        good = np.mean(ty, axis=1, dtype=np.float64) != np.float32(1e-30)
+        tx, ty = tx[good], ty[good]
+        goodv = np.mean(vy, axis=1, dtype=np.float64) != np.float32(1e-30)
+        vx, vy = vx[goodv], vy[goodv]
+    else:
+        ty = np.clip(ty_raw, -1e5, 1e10).astype(np.float32)
+        vy = np.clip(vy_raw, -1e5, 1e8).astype(np.float32)
+    # x stays float64: it is tiny (ndim columns) and feeds the X-transform
+    # fit, whose statistics keep the uncached path's f64 precision
+    tx = np.asarray(tx, np.float64)
+    vx = np.asarray(vx, np.float64)
+    entry = (tx, ty, vx, vy, np.asarray(ty_raw, np.float64))
+    for a in entry:
+        a.setflags(write=False)
+    _DIR_CACHE[outdir] = (key, entry)
+    return entry
+
+
+def load_curated_stack(
+    outdir_list: Sequence[str], ypositive: bool = False, usebest: bool = False
+) -> TrainingData:
+    """Stacked + curated training data with per-directory caching — the
+    orchestrator's fast path (same result as
+    ``curate(load_iteration_stack(...))`` up to the y arrays' dtype:
+    float32 here, which is what the trainer casts to regardless).
+
+    The ``usebest`` optimizer-centred splits are small and appended fresh
+    (uncached); the ypositive stats-set sentinel replacement runs on the
+    stacked result exactly as :func:`curate` does.
+    """
+    parts = [_load_curated_dir(d, ypositive) for d in outdir_list]
+    train_x = np.concatenate([p[0] for p in parts])
+    train_y = np.concatenate([p[1] for p in parts])
+    val_x = np.concatenate([p[2] for p in parts])
+    val_y = np.concatenate([p[3] for p in parts])
+
+    # stats set: first iteration's RAW training outputs, curated like curate()
+    y_stats = parts[0][4]
+    if len(y_stats) == 0:
+        y_stats = np.asarray(train_y, np.float64)
+    if ypositive:
+        y_stats = np.clip(y_stats, 1e-30, None)
+        good_s = np.mean(y_stats, axis=1) != 1e-30
+        y_stats = y_stats[good_s]
+        col_median = np.median(np.asarray(train_y, np.float64), axis=0)
+        rows, cols = np.where(y_stats == 1e-30)
+        y_stats = np.array(y_stats)
+        y_stats[rows, cols] = col_median[cols]
+    else:
+        y_stats = np.clip(y_stats, -1e5, 1e10)
+
+    if usebest:
+        raw = load_iteration_stack(outdir_list, usebest=True)
+        cur = curate(raw, ypositive)
+        return TrainingData(
+            cur.train_x,
+            np.asarray(cur.train_y, np.float32),
+            cur.val_x,
+            np.asarray(cur.val_y, np.float32),
+            cur.train_y_for_stats,
+        )
     return TrainingData(train_x, train_y, val_x, val_y, y_stats)

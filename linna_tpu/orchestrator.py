@@ -223,7 +223,10 @@ def train_emulator(
     # the primary still holds open (those go through the primary-only
     # loader).  Broadcasting the ~100 MB stacks would cost more than it buys.
     t0 = time.perf_counter()
-    stack = D.curate(D.load_iteration_stack(outdir_list, usebest=usebest), ypositive)
+    # cached fast path: previous iterations' files are immutable, so their
+    # curated arrays are reused instead of re-read + re-clipped every
+    # iteration (145 s of the LSST flagship's 587 s training wall)
+    stack = D.load_curated_stack(outdir_list, ypositive, usebest=usebest)
     x_transform = T.fit_x_transform(stack.train_x, dolog10index)
     y_data = T.YTransformData(jax.numpy.asarray(sigma, dtype=jax.numpy.float32))
     scaled_stats = stack.train_y_for_stats / np.asarray(sigma)
@@ -601,6 +604,59 @@ def ml_sampler_core(
     options = int(params.get("trainingoption", 0))
     timer = PhaseTimer(outdir if is_master and MH.is_primary() else None)
     rng = np.random.default_rng(seed)
+
+    # Background compile warming: every iteration trains on a different
+    # stacked shape, so on a fresh machine each pays a 30-60 s XLA compile
+    # serially (measured: 152 s of the LSST flagship's training wall).  The
+    # future shapes are known exactly from the schedule whenever nothing
+    # data-dependent changes the row counts — warm them in a daemon thread
+    # so the foreground dispatch finds the executables in the persistent
+    # compilation cache.  See parallel/precompile.py for the gating story.
+    n_ens_warm = int(params.get("nensemble", 1))
+    use_mesh_warm = (
+        n_ens_warm > 1 or jax.device_count() > 1
+    ) and not params.get("serial_members")
+    if (
+        is_master
+        and use_mesh_warm
+        and MH.process_count() == 1
+        and not params.get("train_subprocess")
+        and not ypositive
+        and nbest is None
+        and chisqcut is None
+    ):
+        from .parallel import precompile
+
+        # the sampler half is warmable only when its likelihood is the plain
+        # ensemble-Gaussian one (user callables / fused / reduced-precision
+        # variants trace to different HLO than the dummy)
+        warm_methods = (
+            methods
+            if (
+                loglikelihoodfunc is None
+                and externalloglike is None
+                and not params.get("use_fused")
+                and params.get("compute_dtype") is None
+            )
+            else ()
+        )
+        precompile.warm_pipeline(
+            nnmodel_in,
+            ndim,
+            int(np.asarray(data).shape[-1]),
+            n_ens_warm,
+            shapes=[
+                (int(sum(ntrainArr[: i + 1])), int(sum(nvalArr[: i + 1])))
+                for i in range(len(ntrainArr))
+            ],
+            batch_size=int(params.get("batch_size", 500)),
+            num_epochs=int(params.get("num_epochs", 4500)),
+            epochs_per_dispatch=int(params.get("epochs_per_dispatch") or 10),
+            compute_dtype=params.get("train_compute_dtype"),
+            methods=warm_methods,
+            nwalkers=nwalkers,
+        )
+
     chain = None
     for i, (nt, nv, nk, ntimes, tautol, temperature, meanshift, stdshift) in enumerate(
         zip(
@@ -748,7 +804,7 @@ def ml_sampler_core(
                 x0 = init_run + jitter * rng.standard_normal((nwalkers, ndim_run))
                 with timer.phase(
                     "mcmc", iteration=i, method=methods[i]
-                ), device_profile(f"mcmc_iter{i}"):
+                ) as mrec, device_profile(f"mcmc_iter{i}"):
                     sampler_run.run_ensemble(
                         log_prob,
                         x0,
@@ -762,6 +818,7 @@ def ml_sampler_core(
                         nk=nk,
                         seed=seed + i,
                         progress=verbose,
+                        trace_rec=mrec,
                     )
             # iteration boundary: the next iteration (and the final read
             # below) reads this iteration's chain file on every pod host

@@ -345,18 +345,32 @@ class EnsembleTrainer:
     def _save(self, epoch: int, force: bool = False) -> None:
         if not force and epoch - self._last_disk_save < self.save_every:
             return
+        # Periodic saves write ONLY dirty best.ckpts (see Trainer._save:
+        # last.ckpt + optimizer state are never read back and ride the final
+        # forced save only).  The dirty check precedes the fetch, so a
+        # no-improvement interval costs zero device->host traffic.  All
+        # hosts share identical _best_dirty (it derives from the fetched
+        # chunk metrics), so the fetch below stays a collective everyone
+        # joins.
+        if not force and not self._best_dirty.any():
+            return
         self._last_disk_save = epoch
         # fetch is a collective on a multi-process mesh (member rows live on
         # other hosts' devices) — every host calls it; only the primary
         # writes.  One batched fetch: per-tree sequential fetches pay a
         # device->host round trip per leaf (~100 leaves across the three
-        # trees — seconds per save on a tunneled device).  The optimizer
-        # state (2/3 of the bytes; never loaded back — see Trainer._save)
-        # rides only the final forced save.
+        # trees — seconds per save on a tunneled device).
         opt = self.opt_state if force else None
         params_h, best_h, opt_h = MH.fetch(
-            (self.params, self._best_params_mem, opt)
+            (self.params if force else None, self._best_params_mem, opt)
         )
+        # clear the dirty flags on EVERY host, not just the writer: the
+        # dirty-any gate above decides whether the next periodic save joins
+        # the fetch collective, so a primary-only clear would deadlock the
+        # pod (primary skips, the others wait in allgather — caught by
+        # tests/test_multihost_2proc.py)
+        dirty = self._best_dirty.copy()
+        self._best_dirty[:] = False
         if not MH.is_primary():
             return
         for m, d in enumerate(self.outdirs):
@@ -366,20 +380,20 @@ class EnsembleTrainer:
                 "lr": float(self.lr[m]),
             }
             opt_m = _row(opt_h, m) if opt_h is not None else None
-            ckpt.save_checkpoint(
-                os.path.join(d, LAST_CKPT),
-                jax.tree.map(lambda a: a[m], params_h),
-                opt_m,
-                meta,
-            )
-            if best_h is not None and self._best_dirty[m]:
+            if force:
+                ckpt.save_checkpoint(
+                    os.path.join(d, LAST_CKPT),
+                    jax.tree.map(lambda a: a[m], params_h),
+                    opt_m,
+                    meta,
+                )
+            if best_h is not None and dirty[m]:
                 ckpt.save_checkpoint(
                     os.path.join(d, BEST_CKPT),
                     jax.tree.map(lambda a: a[m], best_h),
                     opt_m,
                     meta,
                 )
-                self._best_dirty[m] = False
 
     def train(
         self,

@@ -111,6 +111,7 @@ def run_ensemble(
     m_adapt: int = 100,
     shard_walkers: bool = True,
     progress: bool = False,
+    trace_rec: Optional[dict] = None,
 ):
     """Sample until converged; returns the backend holding the chain.
 
@@ -125,7 +126,16 @@ def run_ensemble(
     ``convergence_check=False`` runs exactly ``max_iterations`` steps with no
     tau/stationarity evaluation at all (callers extending a finished chain
     under their own stopping rule, e.g. an external R-hat gate).
+
+    ``trace_rec``: optional mutable dict (PhaseTimer record) receiving this
+    call's wall breakdown — preconditioning, state init, the sampling loop's
+    device wait vs host persistence/convergence time, and the step count.
     """
+    import time as _time
+
+    ps = {"precond": 0.0, "init": 0.0, "device_wait": 0.0, "host": 0.0,
+          "tau_checks": 0.0}
+    _t_setup0 = _time.perf_counter()
     if not tau_walkers or tau_walkers <= 0:
         tau_walkers = None
     os.makedirs(outdir, exist_ok=True)
@@ -259,9 +269,11 @@ def run_ensemble(
             else:
                 precond = precondition.Preconditioner(*payload)
         if precond is None:
+            _t0 = _time.perf_counter()
             precond = precondition.calc_hess_mass_mat(
                 log_prob_fn, np.mean(x0, axis=0)
             )
+            ps["precond"] += _time.perf_counter() - _t0
             if MH.is_primary():
                 # atomic: a crash mid-savez would leave a truncated file that
                 # passes the isfile gate forever and bricks every resume of
@@ -417,6 +429,7 @@ def run_ensemble(
             old_tau = float(old_tau[0]) if old_tau.size else np.inf
         n_chunks_done = int(state_blob["_n_chunks_done"])
     else:
+        _t0 = _time.perf_counter()
         x0_dev = _place(x0)
         key, skey = jax.random.split(key)
         if method == "emcee":
@@ -427,6 +440,8 @@ def run_ensemble(
             state = _init_jit(hmc.init_nuts_state, skey, x0_dev, m_adapt=m_adapt)
         else:
             state = _init_jit(slicemove.init_slice_state, skey, x0_dev)
+        jax.block_until_ready(state.coords)
+        ps["init"] += _time.perf_counter() - _t0
     # Tau recomputation cadence: the batched-FFT tau estimate over the
     # trailing window is the dominant host cost per check at production
     # sizes (seconds per call), and re-estimating it every 100 steps on a
@@ -546,6 +561,11 @@ def run_ensemble(
     # the chain is returned untouched instead of being extended by another
     # chunk (reference analogue: the orchestrator's finish.json file gating,
     # linna/util.py:1506-1516; here the sampler itself is restart-safe).
+    def _finish_trace() -> None:
+        if trace_rec is not None:
+            trace_rec["sampler"] = {k: round(v, 3) for k, v in ps.items()}
+            trace_rec["steps_run"] = int(iteration)
+
     if (
         convergence_check
         and state_blob is not None
@@ -555,6 +575,7 @@ def run_ensemble(
         already_done, _ = _tau_check()
         if already_done:
             converged_flag = True
+            _finish_trace()
             return backend
 
     def _advance(st):
@@ -581,6 +602,7 @@ def run_ensemble(
     # state, and resume behavior are bitwise identical to serial execution
     # (zeus mu-tuning is applied to the post-chunk state before the next
     # dispatch, exactly as in the serial order).
+    ps["setup"] = _time.perf_counter() - _t_setup0 - ps["precond"] - ps["init"]
     pending = None
     while iteration < max_iterations:
         if pending is None:
@@ -595,11 +617,14 @@ def run_ensemble(
         # walkers are sharded across processes) before host-side appends and
         # convergence math — all hosts see identical values, only the primary
         # writes the HDF5 file
+        _t0 = _time.perf_counter()
         if method == "zeus":
             chain, lps = MH.fetch((chain, lps))
         else:  # one batched round trip for chunk + acceptance counters
             chain, lps, acc = MH.fetch((chain, lps, state.accepted))
             acc = acc.astype(np.float64)
+        _t1 = _time.perf_counter()
+        ps["device_wait"] += _t1 - _t0
         if method == "emcee":
             if MH.is_primary():
                 backend.append(
@@ -634,11 +659,16 @@ def run_ensemble(
 
         if not convergence_check or iteration < next_tau_iter:
             _save_state()
+            ps["host"] += _time.perf_counter() - _t1
             continue
+        _t2 = _time.perf_counter()
+        ps["host"] += _t2 - _t1
         converged, nan_stop = _tau_check()
+        ps["tau_checks"] += _time.perf_counter() - _t2
         converged_flag = converged
         _save_state()
         if converged or nan_stop:
             break
 
+    _finish_trace()
     return backend

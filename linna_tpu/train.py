@@ -466,19 +466,26 @@ class Trainer:
         last = getattr(self, "_last_disk_save", -10**9)
         if not force and epoch - last < self.save_every:
             return
+        # Periodic saves write ONLY a dirty best.ckpt: last.ckpt is never
+        # read back by anything (resume is always best-params + fresh
+        # optimizer — load_best / orchestrator.retrieve_model, the
+        # reference's production initfrombest contract), so its periodic
+        # copies were pure device->host traffic; it rides the final forced
+        # save for external tooling, with the optimizer state (2/3 of the
+        # bytes, equally never loaded back).  Crash recovery is unchanged:
+        # best.ckpt is the resume artifact and still lands every
+        # ``save_every`` epochs when it improved (measured at the LSST
+        # flagship shape: periodic saves were 90 s of the 587 s training
+        # wall; see docs/TRAINING_PERF.md).
+        if not force and not getattr(self, "_best_dirty", False):
+            return
         self._last_disk_save = epoch
         meta = {"epoch": epoch, "best_val_loss": self.best_val_loss, "lr": self.lr}
-        # Optimizer state rides only the FINAL (forced) save: nothing in the
-        # framework ever loads it back (resume is always best-params + fresh
-        # optimizer — Trainer.load_best / orchestrator.retrieve_model — the
-        # same contract as the reference's production initfrombest path), and
-        # the AdamW moments are 2/3 of the checkpoint's bytes: fetching them
-        # over a tunneled link for every periodic save measured ~8.5 s per
-        # training iteration at the flagship shape (TRAINING_PERF.md).
         opt = self.opt_state if force else None
-        ckpt.save_checkpoint(
-            os.path.join(self.outdir, LAST_CKPT), self.params, opt, meta
-        )
+        if force:
+            ckpt.save_checkpoint(
+                os.path.join(self.outdir, LAST_CKPT), self.params, opt, meta
+            )
         if getattr(self, "_best_dirty", False):
             best = getattr(self, "_best_params_mem", self.params)
             ckpt.save_checkpoint(

@@ -28,6 +28,12 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 os.environ["LINNA_COMPILE_CACHE"] = "0"
 os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
+# No background compile warming in tests: with the persistent cache off it
+# cannot help, and every tiny pipeline test would otherwise spawn a thread
+# compiling extra programs concurrently with the suite (tests/test_precompile
+# covers the warmer explicitly, overriding this).
+os.environ.setdefault("LINNA_PRECOMPILE", "0")
+
 # The container's sitecustomize registers a tunneled TPU backend and forces
 # jax_platforms="axon,cpu" regardless of the env var — override it back to
 # CPU before any computation runs.

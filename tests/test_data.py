@@ -92,3 +92,78 @@ def test_empty_stack_raises_clearly(tmp_path):
     _write_split(d, "val", np.empty((0, 2)), np.empty((0, 3)))
     with pytest.raises(ValueError, match="no 'train' sample rows"):
         D.load_iteration_stack([str(d)])
+
+
+def _write_iteration_with_sentinels(outdir, n, ndim=2, ndata=3, seed=0):
+    rng = np.random.default_rng(seed)
+    for name, rows in (("train", n), ("val", max(n // 4, 1))):
+        x = rng.uniform(-1, 1, (rows, ndim))
+        y = x @ rng.standard_normal((ndim, ndata))
+        y[0, 0] = 5e10  # above the clip ceiling
+        y[-1, -1] = -2e5  # below the clip floor
+        _write_split(outdir, name, x, y)
+
+
+def test_load_curated_stack_matches_uncached(tmp_path):
+    """The cached fast path must reproduce curate(load_iteration_stack(...))
+    exactly (up to the documented f32 y dtype)."""
+    dirs = []
+    for i in range(3):
+        d = tmp_path / f"iter_{i}"
+        _write_iteration_with_sentinels(d, 8 + i, seed=i)
+        dirs.append(str(d))
+    ref = D.curate(D.load_iteration_stack(dirs), ypositive=False)
+    fast = D.load_curated_stack(dirs, ypositive=False)
+    npt.assert_array_equal(fast.train_x, ref.train_x)
+    npt.assert_array_equal(fast.val_x, ref.val_x)
+    npt.assert_array_equal(fast.train_y, np.asarray(ref.train_y, np.float32))
+    npt.assert_array_equal(fast.val_y, np.asarray(ref.val_y, np.float32))
+    npt.assert_array_equal(fast.train_y_for_stats, ref.train_y_for_stats)
+
+
+def test_load_curated_stack_matches_uncached_ypositive(tmp_path):
+    """ypositive mode: failed rows dropped, stats sentinels median-replaced —
+    identical to the uncached path."""
+    dirs = []
+    for i in range(2):
+        d = tmp_path / f"iter_{i}"
+        rng = np.random.default_rng(10 + i)
+        for name, rows in (("train", 8), ("val", 3)):
+            x = rng.uniform(-1, 1, (rows, 2))
+            y = np.abs(x @ rng.standard_normal((2, 3))) + 0.1
+            y[0] = 1e-30  # failed theory row (dropped)
+            y[1, 2] = 1e-30  # surviving sentinel entry (stats median-replaced)
+            _write_split(d, name, x, y)
+        dirs.append(str(d))
+    ref = D.curate(D.load_iteration_stack(dirs), ypositive=True)
+    fast = D.load_curated_stack(dirs, ypositive=True)
+    npt.assert_array_equal(fast.train_x, ref.train_x)
+    npt.assert_array_equal(fast.train_y, np.asarray(ref.train_y, np.float32))
+    npt.assert_array_equal(fast.val_y, np.asarray(ref.val_y, np.float32))
+    npt.assert_allclose(fast.train_y_for_stats, ref.train_y_for_stats, rtol=2e-7)
+
+
+def test_load_curated_stack_cache_invalidates_on_rewrite(tmp_path):
+    d = tmp_path / "iter_0"
+    _write_iteration(d, 6, seed=1)
+    first = D.load_curated_stack([str(d)])
+    # rewrite the training y with different content -> cache must refresh
+    y2 = np.load(D.sample_y_path(str(d), "train")) + 1.0
+    import os, time
+    time.sleep(0.01)  # ensure a distinct mtime_ns
+    np.save(D.sample_y_path(str(d), "train"), y2)
+    second = D.load_curated_stack([str(d)])
+    npt.assert_allclose(
+        np.asarray(second.train_y, np.float64),
+        np.asarray(first.train_y, np.float64) + 1.0,
+        rtol=1e-6,
+    )
+
+
+def test_load_curated_stack_entries_are_readonly(tmp_path):
+    d = tmp_path / "iter_0"
+    _write_iteration(d, 6, seed=2)
+    D.load_curated_stack([str(d)])
+    entry = D._DIR_CACHE[str(d)][1]
+    with pytest.raises(ValueError):
+        entry[1][0, 0] = 99.0

@@ -197,21 +197,23 @@ def test_supervisor_decision_machine():
     assert sup.step(10, np.array([3.0, 0, 0]), 1.0, min_eig=1e-9) == "reinit"
 
 
-def test_periodic_saves_skip_optimizer_state(tmp_path):
-    """Periodic (non-forced) disk saves omit the AdamW moments (they are 2/3
-    of the bytes and never loaded back — resume is best-params + fresh
-    optimizer); the final forced save still carries them."""
+def test_periodic_saves_write_only_dirty_best(tmp_path):
+    """Periodic (non-forced) disk saves write ONLY a dirty best.ckpt, without
+    the AdamW moments (2/3 of the bytes; never loaded back — resume is
+    best-params + fresh optimizer).  last.ckpt + optimizer state ride the
+    final forced save only, and a clean-best interval writes nothing."""
     ts, state, tx, ty, vx, vy = _problem(seed=3)
     spec = N.make_model_spec("chto_simple", 2, 3)
     tr = Trainer(spec, ts, state, outdir=str(tmp_path))
     tr.train(tx, ty, vx, vy, num_epochs=5, batch_size=16, auto_lr=False)
+    last_stat = os.stat(tmp_path / "last.ckpt.npz")
 
-    # mid-run (non-forced) save
+    # mid-run (non-forced) save with a dirty best: best written (no opt),
+    # last.ckpt untouched
     tr._last_disk_save = -(10**9)
     tr._best_dirty = True
     tr._save(2, False)
-    with np.load(tmp_path / "last.ckpt.npz") as z:
-        assert not any(k.startswith("opt/") for k in z.files)
+    assert os.stat(tmp_path / "last.ckpt.npz").st_mtime_ns == last_stat.st_mtime_ns
     with np.load(tmp_path / "best.ckpt.npz") as z:
         assert not any(k.startswith("opt/") for k in z.files)
     # optimizer-less checkpoints still load cleanly
@@ -220,7 +222,14 @@ def test_periodic_saves_skip_optimizer_state(tmp_path):
     )
     assert opt is None and "best_val_loss" in meta
 
-    # forced (final) save carries the optimizer state
+    # clean best: a periodic save writes nothing at all
+    best_stat = os.stat(tmp_path / "best.ckpt.npz")
+    tr._last_disk_save = -(10**9)
+    tr._save(3, False)
+    assert os.stat(tmp_path / "best.ckpt.npz").st_mtime_ns == best_stat.st_mtime_ns
+    assert os.stat(tmp_path / "last.ckpt.npz").st_mtime_ns == last_stat.st_mtime_ns
+
+    # forced (final) save carries last.ckpt + the optimizer state
     tr._last_disk_save = -(10**9)
     tr._save(4, False, force=True)
     with np.load(tmp_path / "last.ckpt.npz") as z:
