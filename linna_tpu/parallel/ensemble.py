@@ -113,7 +113,7 @@ class EnsembleTrainer:
         stacked = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *inits)
         # put_global (not device_put): the mesh may span processes on a pod
         self.params = put_global_tree(stacked, member_sharding(self.mesh, stacked))
-        self.optimizer = _make_optimizer()
+        self.optimizer = _make_optimizer(mu_dtype=compute_dtype)
         self.opt_state = jax.jit(jax.vmap(self.optimizer.init))(self.params)
         self.lr = np.full(self.n_members, 1e-4)
         self.wd = np.full(self.n_members, 1e-4)

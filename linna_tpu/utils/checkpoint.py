@@ -46,7 +46,17 @@ def _flatten(tree: Any) -> Dict[str, np.ndarray]:
     # leaf (an opt_state has ~60 leaves; sequential np.asarray fetches
     # measured >1 s per checkpoint on a tunneled device)
     leaves = jax.tree_util.tree_flatten_with_path(jax.device_get(tree))[0]
-    return {_path_key(path): np.asarray(leaf) for path, leaf in leaves}
+    out = {}
+    for path, leaf in leaves:
+        arr = np.asarray(leaf)
+        if arr.dtype.kind == "V":
+            # npz has no record of ml_dtypes types (bf16 AdamW moments under
+            # compute_dtype): they round-trip as raw |V2 bytes that no later
+            # np.load can interpret.  Widen to f32 on save (exact for bf16);
+            # load casts back to the template leaf's dtype (also exact).
+            arr = arr.astype(np.float32)
+        out[_path_key(path)] = arr
+    return out
 
 
 def _unflatten_like(tree: Any, arrays: Dict[str, np.ndarray], prefix: str) -> Any:

@@ -124,3 +124,60 @@ def test_bf16_training_compute_trains_to_similar_loss(tmp_path):
     # same regime: bf16 best-val within 3x of f32's (coarse tolerance — the
     # contract is "trains sanely", exact parity is impossible in bf16)
     assert finals["bf16"] < 3 * finals["f32"] + 1e-3
+
+
+def test_bf16_training_stores_bf16_first_moment(tmp_path):
+    """Under ``compute_dtype="bfloat16"`` both trainers store the AdamW
+    first moment in bf16 (measured 10% off the bandwidth-floor-bound epoch
+    at the LSST shape, docs/TRAINING_PERF.md); f32 training keeps f32
+    moments, and the final forced checkpoint round-trips the bf16 state."""
+    import jax.numpy as jnp
+
+    from linna_tpu import losses as L
+    from linna_tpu.train import Trainer
+    from linna_tpu.utils import checkpoint as ckpt
+
+    def mu_leaves(opt_state):
+        return jax.tree.leaves(opt_state.inner_state[0].mu)
+
+    spec, ts, pack, data, inv_cov = _setup()
+    loss_state = L.build_loss_state(data, np.eye(5), ts)
+    tr32 = Trainer(spec, ts, loss_state, seed=7)
+    assert all(m.dtype == jnp.float32 for m in mu_leaves(tr32.opt_state))
+    tr16 = Trainer(
+        spec, ts, loss_state, outdir=str(tmp_path), seed=7,
+        compute_dtype="bfloat16",
+    )
+    assert all(m.dtype == jnp.bfloat16 for m in mu_leaves(tr16.opt_state))
+
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal((3, 5))
+    tx = np.asarray(rng.uniform(-1, 1, (100, 3)), np.float32)
+    vx = np.asarray(rng.uniform(-1, 1, (20, 3)), np.float32)
+    tr16.train(
+        tx, np.asarray(tx @ w, np.float32), vx, np.asarray(vx @ w, np.float32),
+        num_epochs=10, batch_size=50, auto_lr=False, initfrombest=False,
+    )
+    # the final forced save carries the optimizer state; it must load back
+    # with the bf16 moment dtype intact (tests the npz V-kind widening)
+    _, opt, _ = ckpt.load_checkpoint(
+        str(tmp_path / "last.ckpt.npz"), tr16.params, tr16.opt_state
+    )
+    assert all(m.dtype == jnp.bfloat16 for m in mu_leaves(opt))
+
+
+def test_bf16_ensemble_trainer_moment_dtype():
+    """EnsembleTrainer follows the same moment-dtype policy as Trainer."""
+    import jax.numpy as jnp
+
+    from linna_tpu import losses as L
+    from linna_tpu.parallel.ensemble import EnsembleTrainer
+
+    spec, ts, pack, data, inv_cov = _setup()
+    loss_state = L.build_loss_state(data, np.eye(5), ts)
+    et = EnsembleTrainer(
+        spec, ts, loss_state, outdirs=[None, None], seeds=[0, 1],
+        compute_dtype="bfloat16",
+    )
+    mus = jax.tree.leaves(et.opt_state.inner_state[0].mu)
+    assert all(m.dtype == jnp.bfloat16 for m in mus)

@@ -150,3 +150,26 @@ def test_pipeline_train_subprocess_mode(tmp_path):
     assert os.path.isfile(os.path.join(it0, "train_request.json"))
     assert os.path.isfile(os.path.join(it0, "finish.json"))
     assert os.path.isfile(os.path.join(it0, "best.ckpt.npz"))
+
+
+def test_checkpoint_bf16_leaves_roundtrip(tmp_path):
+    """bf16 leaves (AdamW moments under compute_dtype) survive the npz
+    checkpoint: npz has no record of ml_dtypes types — raw |V2 bytes written
+    naively can never be reinterpreted by np.load — so save widens to f32
+    (exact) and load casts back via the template dtype (exact)."""
+    import jax.numpy as jnp
+
+    from linna_tpu.utils import checkpoint as ckpt
+
+    params = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)}
+    opt = {"mu": jnp.asarray([[0.5, -1.25], [2.0, 0.125]], jnp.bfloat16)}
+    path = str(tmp_path / "c.ckpt.npz")
+    ckpt.save_checkpoint(path, params, opt, {"epoch": 3})
+    with np.load(path) as z:
+        assert z["opt/mu"].dtype == np.float32  # npz-representable on disk
+    p2, o2, meta = ckpt.load_checkpoint(path, params, opt)
+    assert o2["mu"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(o2["mu"], np.float32), np.asarray(opt["mu"], np.float32)
+    )
+    assert meta["epoch"] == 3
