@@ -15,6 +15,7 @@ failed entirely (all-1e-30).
 from __future__ import annotations
 
 import os
+import zlib
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -29,6 +30,7 @@ __all__ = [
     "load_iteration_stack",
     "curate",
     "load_curated_stack",
+    "clear_cache",
 ]
 
 
@@ -172,7 +174,7 @@ def curate(data: TrainingData, ypositive: bool = False) -> TrainingData:
 # ------------------------------------------------------------- cached loader
 
 # Per-directory cache of curated split arrays, keyed by the sample files'
-# (size, mtime_ns).  The orchestrator re-stacks ALL previous iterations'
+# (size, mtime_ns, head/tail CRC).  The orchestrator re-stacks ALL previous iterations'
 # data every iteration (reference linna/util.py:1342-1373) although those
 # files are immutable once written — measured at the LSST flagship shape
 # the redundant reload + f64 clip copies cost 145 s of the 587 s training
@@ -186,9 +188,26 @@ def curate(data: TrainingData, ypositive: bool = False) -> TrainingData:
 _DIR_CACHE: dict = {}
 
 
+def clear_cache() -> None:
+    """Drop all cached per-directory arrays.  Called at pipeline start so a
+    long-lived process running many pipelines doesn't accumulate every
+    outdir's arrays forever, and so reruns never see a previous run's data."""
+    _DIR_CACHE.clear()
+
+
 def _file_key(path: str):
+    # (size, mtime_ns) alone can collide after a same-size in-place rewrite
+    # within the filesystem's mtime granularity (network filesystems can be
+    # 1 s) — _chisqcut_files and crash-resume flows do rewrite these files.
+    # A CRC of the first+last 4 KiB catches any realistic rewrite for ~µs of
+    # IO, without hashing the multi-hundred-MB body.
     st = os.stat(path)
-    return (st.st_size, st.st_mtime_ns)
+    with open(path, "rb") as fh:
+        head = fh.read(4096)
+        if st.st_size > 8192:
+            fh.seek(-4096, os.SEEK_END)
+        tail = fh.read(4096)
+    return (st.st_size, st.st_mtime_ns, zlib.crc32(tail, zlib.crc32(head)))
 
 
 def _load_curated_dir(outdir: str, ypositive: bool):
@@ -240,20 +259,42 @@ def load_curated_stack(
     ``curate(load_iteration_stack(...))`` up to the y arrays' dtype:
     float32 here, which is what the trainer casts to regardless).
 
-    The ``usebest`` optimizer-centred splits are small and appended fresh
-    (uncached); the ypositive stats-set sentinel replacement runs on the
-    stacked result exactly as :func:`curate` does.
+    The ``usebest`` optimizer-centred stacks go through the uncached
+    reference path unchanged (they are small); the ypositive stats-set
+    sentinel replacement runs on the stacked result exactly as
+    :func:`curate` does.
     """
-    parts = [_load_curated_dir(d, ypositive) for d in outdir_list]
-    train_x = np.concatenate([p[0] for p in parts])
-    train_y = np.concatenate([p[1] for p in parts])
-    val_x = np.concatenate([p[2] for p in parts])
-    val_y = np.concatenate([p[3] for p in parts])
+    if usebest:
+        cur = curate(load_iteration_stack(outdir_list, usebest=True), ypositive)
+        return TrainingData(
+            cur.train_x,
+            np.asarray(cur.train_y, np.float32),
+            cur.val_x,
+            np.asarray(cur.val_y, np.float32),
+            cur.train_y_for_stats,
+        )
 
-    # stats set: first iteration's RAW training outputs, curated like curate()
+    parts = [_load_curated_dir(d, ypositive) for d in outdir_list]
+    # a chisqcut can empty an iteration's split entirely; its (0, 1)-shaped
+    # arrays must be skipped (column counts differ), matching _load_pairs
+    tparts = [p for p in parts if p[0].size]
+    vparts = [p for p in parts if p[2].size]
+    if not tparts or not vparts:
+        name = "train" if not tparts else "val"
+        raise ValueError(
+            f"no '{name}' sample rows found under {list(outdir_list)}"
+        )
+    train_x = np.concatenate([p[0] for p in tparts])
+    train_y = np.concatenate([p[1] for p in tparts])
+    val_x = np.concatenate([p[2] for p in vparts])
+    val_y = np.concatenate([p[3] for p in vparts])
+
+    # stats set: first iteration's RAW training outputs, curated like curate();
+    # empty-first-iteration fallback is the RAW stacked train set (f64, so the
+    # 1e-30 sentinel comparisons below stay exact, as in load_iteration_stack)
     y_stats = parts[0][4]
     if len(y_stats) == 0:
-        y_stats = np.asarray(train_y, np.float64)
+        y_stats = np.concatenate([p[4] for p in parts if p[4].size])
     if ypositive:
         y_stats = np.clip(y_stats, 1e-30, None)
         good_s = np.mean(y_stats, axis=1) != 1e-30
@@ -264,15 +305,4 @@ def load_curated_stack(
         y_stats[rows, cols] = col_median[cols]
     else:
         y_stats = np.clip(y_stats, -1e5, 1e10)
-
-    if usebest:
-        raw = load_iteration_stack(outdir_list, usebest=True)
-        cur = curate(raw, ypositive)
-        return TrainingData(
-            cur.train_x,
-            np.asarray(cur.train_y, np.float32),
-            cur.val_x,
-            np.asarray(cur.val_y, np.float32),
-            cur.train_y_for_stats,
-        )
     return TrainingData(train_x, train_y, val_x, val_y, y_stats)

@@ -69,9 +69,11 @@ def _enable_compile_cache() -> None:
     per run (~40 s per training program at the DES flagship shape on a
     remote-compile device).  Opt out / relocate with ``LINNA_COMPILE_CACHE``
     (set to ``0`` to disable)."""
-    cache_dir = os.environ.get("LINNA_COMPILE_CACHE", "/tmp/linna_jax_cache")
-    if cache_dir in ("0", ""):
+    from .parallel.precompile import compile_cache_enabled
+
+    if not compile_cache_enabled():
         return
+    cache_dir = os.environ.get("LINNA_COMPILE_CACHE", "/tmp/linna_jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # persist EVERY compile, including sub-second tiny-op programs: on a
@@ -561,6 +563,7 @@ def ml_sampler_core(
     Returns (chain, log_prob) of the final iteration, chain in physical space.
     """
     _enable_compile_cache()
+    D.clear_cache()  # never reuse a previous run's curated stacks
     params = dict(params or {})
     if not isinstance(nnmodel_in, str):
         nnmodel_in = getattr(nnmodel_in, "__name__", "chto_v2")

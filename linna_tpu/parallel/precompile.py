@@ -48,11 +48,28 @@ __all__ = [
     "iter_lowered",
     "iter_lowered_sampler",
     "enabled",
+    "compile_cache_enabled",
 ]
 
 
+def compile_cache_enabled() -> bool:
+    """Whether the persistent XLA compilation cache is on (the orchestrator's
+    ``LINNA_COMPILE_CACHE`` knob; set to ``0``/empty to disable)."""
+    return os.environ.get("LINNA_COMPILE_CACHE", "/tmp/linna_jax_cache") not in (
+        "0",
+        "",
+    )
+
+
 def enabled() -> bool:
-    return os.environ.get("LINNA_PRECOMPILE", "1") != "0"
+    # Warming pays off ONLY through the persistent compilation cache: the
+    # warm thread's executables live under dummy-trainer jit identities the
+    # foreground never reuses in-process.  With the cache off, warming is
+    # pure wasted compile work competing with the foreground.
+    return (
+        os.environ.get("LINNA_PRECOMPILE", "1") != "0"
+        and compile_cache_enabled()
+    )
 
 
 def _chunk_lengths(num_epochs: int, epochs_per_dispatch: int) -> List[int]:

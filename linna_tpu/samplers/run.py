@@ -133,8 +133,8 @@ def run_ensemble(
     """
     import time as _time
 
-    ps = {"precond": 0.0, "init": 0.0, "device_wait": 0.0, "host": 0.0,
-          "tau_checks": 0.0}
+    ps = {"precond": 0.0, "init": 0.0, "setup": 0.0, "device_wait": 0.0,
+          "host": 0.0, "tau_checks": 0.0}
     _t_setup0 = _time.perf_counter()
     if not tau_walkers or tau_walkers <= 0:
         tau_walkers = None
@@ -566,13 +566,16 @@ def run_ensemble(
             trace_rec["sampler"] = {k: round(v, 3) for k, v in ps.items()}
             trace_rec["steps_run"] = int(iteration)
 
+    ps["setup"] = _time.perf_counter() - _t_setup0 - ps["precond"] - ps["init"]
     if (
         convergence_check
         and state_blob is not None
         and bool(np.asarray(state_blob.get("_converged", False)))
         and rolling_len + hist_pending > 0
     ):
+        _t_tc = _time.perf_counter()
         already_done, _ = _tau_check()
+        ps["tau_checks"] += _time.perf_counter() - _t_tc
         if already_done:
             converged_flag = True
             _finish_trace()
@@ -602,7 +605,6 @@ def run_ensemble(
     # state, and resume behavior are bitwise identical to serial execution
     # (zeus mu-tuning is applied to the post-chunk state before the next
     # dispatch, exactly as in the serial order).
-    ps["setup"] = _time.perf_counter() - _t_setup0 - ps["precond"] - ps["init"]
     pending = None
     while iteration < max_iterations:
         if pending is None:
@@ -664,9 +666,11 @@ def run_ensemble(
         _t2 = _time.perf_counter()
         ps["host"] += _t2 - _t1
         converged, nan_stop = _tau_check()
-        ps["tau_checks"] += _time.perf_counter() - _t2
+        _t3 = _time.perf_counter()
+        ps["tau_checks"] += _t3 - _t2
         converged_flag = converged
         _save_state()
+        ps["host"] += _time.perf_counter() - _t3
         if converged or nan_stop:
             break
 

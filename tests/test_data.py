@@ -167,3 +167,71 @@ def test_load_curated_stack_entries_are_readonly(tmp_path):
     entry = D._DIR_CACHE[str(d)][1]
     with pytest.raises(ValueError):
         entry[1][0, 0] = 99.0
+
+
+def test_load_curated_stack_tolerates_empty_iteration(tmp_path):
+    """A chisqcut can empty an iteration's split files in place; the cached
+    loader must skip the (0, 1)-shaped arrays exactly as load_iteration_stack
+    does instead of crashing the concatenate."""
+    d0, d1 = tmp_path / "iter_0", tmp_path / "iter_1"
+    _write_iteration(d0, 6, seed=0)
+    _write_split(d1, "train", np.empty((0, 2)), np.empty((0, 3)))
+    _write_split(d1, "val", np.empty((0, 2)), np.empty((0, 3)))
+    dirs = [str(d0), str(d1)]
+    ref = D.curate(D.load_iteration_stack(dirs))
+    fast = D.load_curated_stack(dirs)
+    npt.assert_array_equal(fast.train_x, ref.train_x)
+    npt.assert_array_equal(fast.train_y, np.asarray(ref.train_y, np.float32))
+    # every-iteration-empty still raises the clear error
+    with pytest.raises(ValueError, match="no 'train' sample rows"):
+        D.load_curated_stack([str(d1)])
+
+
+def test_load_curated_stack_empty_first_iter_ypositive_stats(tmp_path):
+    """Empty-first-iteration fallback: the stats set is rebuilt from the RAW
+    f64 stack so the ypositive 1e-30 sentinel comparisons stay exact (an f32
+    round-trip makes them silently never match)."""
+    d0, d1 = tmp_path / "iter_0", tmp_path / "iter_1"
+    _write_split(d0, "train", np.empty((0, 2)), np.empty((0, 3)))
+    _write_split(d0, "val", np.empty((0, 2)), np.empty((0, 3)))
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, (8, 2))
+    y = np.abs(x @ rng.standard_normal((2, 3))) + 0.1
+    y[0] = 1e-30       # failed row: dropped everywhere
+    y[1, 2] = 1e-30    # surviving sentinel: stats median-replaced
+    _write_split(d1, "train", x, y)
+    _write_split(d1, "val", x[:2], y[:2])
+    dirs = [str(d0), str(d1)]
+    ref = D.curate(D.load_iteration_stack(dirs), ypositive=True)
+    fast = D.load_curated_stack(dirs, ypositive=True)
+    assert np.all(fast.train_y_for_stats > 1e-29), "sentinel not replaced"
+    npt.assert_allclose(fast.train_y_for_stats, ref.train_y_for_stats, rtol=2e-7)
+
+
+def test_load_curated_stack_cache_catches_same_size_rewrite(tmp_path):
+    """An in-place rewrite that preserves byte size and mtime must still
+    invalidate the cache (content CRC in the key)."""
+    import os
+    d = tmp_path / "iter_0"
+    _write_iteration(d, 6, seed=3)
+    first = D.load_curated_stack([str(d)])
+    ypath = D.sample_y_path(str(d), "train")
+    st = os.stat(ypath)
+    y2 = np.load(ypath) + 1.0
+    np.save(ypath, y2)  # same shape/dtype -> same byte size
+    os.utime(ypath, ns=(st.st_atime_ns, st.st_mtime_ns))  # forge mtime back
+    second = D.load_curated_stack([str(d)])
+    npt.assert_allclose(
+        np.asarray(second.train_y, np.float64),
+        np.asarray(first.train_y, np.float64) + 1.0,
+        rtol=1e-6,
+    )
+
+
+def test_clear_cache_empties_dir_cache(tmp_path):
+    d = tmp_path / "iter_0"
+    _write_iteration(d, 4, seed=4)
+    D.load_curated_stack([str(d)])
+    assert D._DIR_CACHE
+    D.clear_cache()
+    assert not D._DIR_CACHE

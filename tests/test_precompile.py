@@ -117,6 +117,9 @@ def test_warm_thread_runs_and_is_silent(tmp_path, monkeypatch):
         "chto_simple", NDIM, NDATA, K, [(N_TRAIN, N_VAL)], BATCH, 7, 5, None
     ) is None
     monkeypatch.delenv("LINNA_PRECOMPILE")
+    # the test session disables the persistent compile cache (conftest), which
+    # now also disables warming — point it at a scratch dir for this test
+    monkeypatch.setenv("LINNA_COMPILE_CACHE", str(tmp_path / "cache"))
     t = precompile.warm_ensemble_training(
         "chto_simple", NDIM, NDATA, K, [(N_TRAIN, N_VAL)], BATCH, 7, 5, None
     )
@@ -198,3 +201,20 @@ def test_warmed_sampler_hlo_matches_real(tmp_path):
     )(key, x0, wenv)
     real_nchunk = hmc.nuts_chunk.lower(wfn, nstate, 100, 5, lp_env=wenv)
     assert real_nchunk.as_text() == warmed["nuts_chunk"].as_text()
+
+
+def test_warming_disabled_when_compile_cache_off(monkeypatch):
+    """Warming pays off only through the persistent compile cache; with
+    LINNA_COMPILE_CACHE=0 the warm thread would be pure wasted compiles."""
+    monkeypatch.delenv("LINNA_PRECOMPILE", raising=False)
+    monkeypatch.setenv("LINNA_COMPILE_CACHE", "0")
+    assert not precompile.enabled()
+    assert precompile.warm_pipeline(
+        "chto_v2", NDIM, NDATA, K, shapes=[(N_TRAIN, N_VAL)],
+        batch_size=BATCH, num_epochs=4, epochs_per_dispatch=2,
+        compute_dtype=None,
+    ) is None
+    monkeypatch.setenv("LINNA_COMPILE_CACHE", "/tmp/somewhere")
+    assert precompile.enabled()
+    monkeypatch.setenv("LINNA_PRECOMPILE", "0")
+    assert not precompile.enabled()
