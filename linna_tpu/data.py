@@ -199,15 +199,24 @@ def _file_key(path: str):
     # (size, mtime_ns) alone can collide after a same-size in-place rewrite
     # within the filesystem's mtime granularity (network filesystems can be
     # 1 s) — _chisqcut_files and crash-resume flows do rewrite these files.
-    # A CRC of the first+last 4 KiB catches any realistic rewrite for ~µs of
-    # IO, without hashing the multi-hundred-MB body.
-    st = os.stat(path)
+    # A CRC of the first + middle + last 4 KiB catches any realistic rewrite
+    # for ~µs of IO, without hashing the multi-hundred-MB body.  (The middle
+    # window closes the residual same-size rewrite that changes only interior
+    # bytes outside head/tail — e.g. one edited row of a large .npy.)
+    # The file is opened FIRST and fstat'd on the open handle so size, mtime
+    # and CRC all describe the same inode even if the file is atomically
+    # replaced between calls.
     with open(path, "rb") as fh:
+        st = os.fstat(fh.fileno())
         head = fh.read(4096)
+        crc = zlib.crc32(head)
+        if st.st_size > 12288:
+            fh.seek(st.st_size // 2)
+            crc = zlib.crc32(fh.read(4096), crc)
         if st.st_size > 8192:
             fh.seek(-4096, os.SEEK_END)
-        tail = fh.read(4096)
-    return (st.st_size, st.st_mtime_ns, zlib.crc32(tail, zlib.crc32(head)))
+        crc = zlib.crc32(fh.read(4096), crc)
+    return (st.st_size, st.st_mtime_ns, crc)
 
 
 def _load_curated_dir(outdir: str, ypositive: bool):

@@ -49,16 +49,22 @@ __all__ = [
     "iter_lowered_sampler",
     "enabled",
     "compile_cache_enabled",
+    "compile_cache_dir",
 ]
 
 
+def compile_cache_dir() -> Optional[str]:
+    """The persistent XLA compilation cache directory, or ``None`` when the
+    cache is disabled (the single source of truth for the
+    ``LINNA_COMPILE_CACHE`` knob: set to a path to relocate, ``0``/empty to
+    disable)."""
+    d = os.environ.get("LINNA_COMPILE_CACHE", "/tmp/linna_jax_cache")
+    return None if d in ("0", "") else d
+
+
 def compile_cache_enabled() -> bool:
-    """Whether the persistent XLA compilation cache is on (the orchestrator's
-    ``LINNA_COMPILE_CACHE`` knob; set to ``0``/empty to disable)."""
-    return os.environ.get("LINNA_COMPILE_CACHE", "/tmp/linna_jax_cache") not in (
-        "0",
-        "",
-    )
+    """Whether the persistent XLA compilation cache is on."""
+    return compile_cache_dir() is not None
 
 
 def enabled() -> bool:

@@ -228,6 +228,42 @@ def test_load_curated_stack_cache_catches_same_size_rewrite(tmp_path):
     )
 
 
+def test_cache_key_covers_tail_and_middle_windows(tmp_path):
+    """Same-size rewrites of a >12 KiB y file touching ONLY the final 4 KiB
+    (tail-CRC path) or ONLY interior bytes outside head/tail (middle-CRC
+    window) must each invalidate the cache."""
+    import os
+    d = tmp_path / "iter_0"
+    n = 64  # 64 rows x 40 f64 cols = 20 KiB .npy body (> 12288 gate)
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-1, 1, (n, 2))
+    y = rng.standard_normal((n, 40))
+    _write_split(d, "train", x, y)
+    _write_split(d, "val", x[:4], y[:4])
+    ypath = D.sample_y_path(str(d), "train")
+    assert os.stat(ypath).st_size > 12288
+
+    def rewrite(row):
+        st = os.stat(ypath)
+        y2 = np.load(ypath)
+        y2[row] = y2[row] + 1.0
+        np.save(ypath, y2)
+        os.utime(ypath, ns=(st.st_atime_ns, st.st_mtime_ns))
+        return y2
+
+    D.load_curated_stack([str(d)])
+    y_tail = rewrite(n - 1)  # last row lives in the final 4 KiB
+    after_tail = D.load_curated_stack([str(d)])
+    npt.assert_allclose(
+        np.asarray(after_tail.train_y, np.float64), y_tail, rtol=1e-6
+    )
+    y_mid = rewrite(n // 2)  # interior row: outside head AND tail windows
+    after_mid = D.load_curated_stack([str(d)])
+    npt.assert_allclose(
+        np.asarray(after_mid.train_y, np.float64), y_mid, rtol=1e-6
+    )
+
+
 def test_clear_cache_empties_dir_cache(tmp_path):
     d = tmp_path / "iter_0"
     _write_iteration(d, 4, seed=4)
