@@ -50,6 +50,7 @@ def make_log_prob(
     ensemble_k_std: float = 1.0,
     use_fused: bool = False,
     compute_dtype: Optional[str] = None,
+    out_cut: Optional[int] = None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Build the batched whitened-space log-posterior.
 
@@ -75,6 +76,14 @@ def make_log_prob(
     chi^2 by O(0.01 * ndata), so for data vectors of O(500) points validate
     posterior parity before using it for production inference (the test
     suite pins parity statistically on a small problem).
+
+    ``out_cut``: when the checkpoint was trained with a WIDER output than the
+    current data vector (a dimension-padded model retrieved via
+    ``retrieve_model_exist`` — reference linna/util.py:641-713, whose
+    returned ``outcut`` the reference then never applies, a latent shape
+    crash at linna/main.py:254-263 + util.py:1014), the first ``out_cut``
+    components of the data-space prediction are compared against ``data``;
+    the saved y-transforms still run at the checkpoint's full width.
 
     **Ensemble likelihood** (extension beyond the reference): ``params`` may
     be a list/tuple of K independently trained parameter pytrees.  The
@@ -113,12 +122,24 @@ def make_log_prob(
         else:
             params = cast(params)
 
+    if out_cut is not None:
+        out_cut = int(out_cut)
+        if out_cut > spec.out_size:
+            raise ValueError(
+                f"out_cut={out_cut} exceeds the model's output size "
+                f"{spec.out_size}: the checkpoint cannot produce the "
+                "requested data vector"
+            )
+        if out_cut == spec.out_size:
+            out_cut = None  # no-op cut: keep the uncut (cachable) HLO
+
     if (
         use_fused
         and not is_ensemble
         and loglike_fn is None
         and external_loglike is None
         and linearmodel is None
+        and out_cut is None  # the fused kernel computes chi^2 at full width
         # the fused trunk has no 1e-3 linear bypass (chto_v2_linear)
         and not spec.linear_bypass
     ):
@@ -160,6 +181,8 @@ def make_log_prob(
                 pred = N.apply_model(spec, p, x_in, linearmodel=linearmodel)
                 pred = pred.astype(jnp.float32)
                 m = tset.y_data.inverse(tset.y_transform(pred))
+                if out_cut is not None:
+                    m = m[..., :out_cut]
                 d = m - env["data"]
                 return jnp.einsum("...i,ij,...j->...", d, env["inv_cov"], d)
 
@@ -174,6 +197,8 @@ def make_log_prob(
             # (Predictor.predict's y_transform then Log_prob's
             #  y_invtransform_data, linna/predictor_gpu.py:500 + util.py:1012)
             m = tset.y_data.inverse(tset.y_transform(pred_std))
+            if out_cut is not None:
+                m = m[..., :out_cut]
             lp = like(m, env["data"], env["inv_cov"]) / env["temperature"]
             lp = lp + P.lnprior(x)
         if external_loglike is not None:

@@ -58,6 +58,7 @@ __all__ = [
 
 FINISH_MARKER = "finish.json"
 TRANSFORMS_FILE = "transforms.npz"
+LINEAR_MODEL_FILE = "linear_model.npz"
 
 
 def _enable_compile_cache() -> None:
@@ -69,11 +70,11 @@ def _enable_compile_cache() -> None:
     per run (~40 s per training program at the DES flagship shape on a
     remote-compile device).  Opt out / relocate with ``LINNA_COMPILE_CACHE``
     (set to ``0`` to disable)."""
-    from .parallel.precompile import compile_cache_enabled
+    from .parallel.precompile import compile_cache_dir
 
-    if not compile_cache_enabled():
+    cache_dir = compile_cache_dir()
+    if cache_dir is None:
         return
-    cache_dir = os.environ.get("LINNA_COMPILE_CACHE", "/tmp/linna_jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # persist EVERY compile, including sub-second tiny-op programs: on a
@@ -100,6 +101,21 @@ def _open_backend(chainname: str, method: str):
     if method in ("emcee",) + sampler_run.GRADIENT_METHODS:
         return backends.EmceeBackend(chainname)
     return backends.ZeusBackend(chainname)
+
+
+def _chain_incomplete(chain_path: str, method: str) -> bool:
+    """True when the chain file exists but its exact-resume state blob says
+    the sampler died mid-run (``_converged`` False).  Chains without a blob
+    or without the flag (legacy files, reference-produced fixtures) are
+    treated as complete, preserving the reference's bare-existence gate for
+    them (linna/main.py:273-274)."""
+    try:
+        blob = _open_backend(chain_path, method).load_state()
+    except OSError:
+        return False
+    if blob is None or "_converged" not in blob:
+        return False
+    return not bool(np.asarray(blob["_converged"]))
 
 
 def get_good_walker_list(log_prob_samples: np.ndarray) -> np.ndarray:
@@ -239,6 +255,42 @@ def train_emulator(
     if trace_rec is not None:
         trace_rec["stack_fit_s"] = round(time.perf_counter() - t0, 3)
 
+    # Optional PCA+polynomial pre-model under the NN (the reference's
+    # ``ChtoModelv2(..., linearmodel=LinearModel(...))`` capability,
+    # linna/nn.py:104-108 — production disables it, linna/util.py:1464).
+    # ``params["linearmodel"]``: truthy to enable; a dict passes fit kwargs
+    # (norder/npc).  The fitted model is persisted pickle-free and added to
+    # every member's forward during training AND sampling.
+    linearmodel = None
+    lm_cfg = params.get("linearmodel")
+    if lm_cfg:
+        from . import linear_model as LM
+        from .losses import SENTINEL_HIGH, SENTINEL_LOW
+
+        lm_path = os.path.join(outdir_in, LINEAR_MODEL_FILE)
+        if MH.primary_flag(os.path.isfile(lm_path)):
+            linearmodel = LM.load_linear_model(lm_path)
+        else:
+            # fit X-transformed inputs -> standardized targets (the NN's own
+            # input/output spaces), excluding sentinel-carrying rows; the fit
+            # is deterministic on the shared sample files, so every pod host
+            # computes the identical model
+            jnpf = jax.numpy.float32
+            x_in = np.asarray(
+                x_transform(jax.numpy.asarray(stack.train_x, jnpf))
+            )
+            y_raw = np.asarray(stack.train_y, np.float64)
+            good = ~np.any(
+                (y_raw == SENTINEL_LOW) | (y_raw == SENTINEL_HIGH), axis=1
+            )
+            y_std = np.asarray(
+                y_transform.inverse(y_data(jax.numpy.asarray(y_raw[good], jnpf)))
+            )
+            lm_kwargs = dict(lm_cfg) if isinstance(lm_cfg, dict) else {}
+            linearmodel = LM.fit_linear_model(x_in[good], y_std, **lm_kwargs)
+            if MH.is_primary():
+                LM.save_linear_model(lm_path, linearmodel)
+
     loss_state = L.build_loss_state(data_vec, cov, transforms)
     spec = N.make_model_spec(
         model_name, stack.train_x.shape[-1], stack.train_y.shape[-1]
@@ -276,7 +328,7 @@ def train_emulator(
         t0 = time.perf_counter()
         trainer = EnsembleTrainer(
             spec, transforms, loss_state, member_dirs, seeds,
-            compute_dtype=train_cdtype,
+            compute_dtype=train_cdtype, linearmodel=linearmodel,
         )
         if trace_rec is not None:
             # eager member-init device ops (init_model + vmapped optimizer
@@ -301,6 +353,7 @@ def train_emulator(
             trainer = Trainer(
                 spec, transforms, loss_state, outdir=member_dir,
                 seed=member_seed, compute_dtype=train_cdtype,
+                linearmodel=linearmodel,
             )
             if trace_rec is not None:
                 trace_rec[f"trainer_init_s_m{mi}"] = round(
@@ -367,6 +420,12 @@ def retrieve_model(
     trainer.spec = spec
     trainer.transforms = transforms
     trainer.loss_state = None
+    trainer.linearmodel = None
+    lm_path = os.path.join(outdir, LINEAR_MODEL_FILE)
+    if os.path.isfile(lm_path):
+        from .linear_model import load_linear_model
+
+        trainer.linearmodel = load_linear_model(lm_path)
     trainer.outdir = outdir
     trainer.seed = 0
     trainer.key = jax.random.key(0)
@@ -415,9 +474,21 @@ def retrieve_model_exist(
 
     Returns (trainer, incut, outcut): ``incut`` is the model's true input
     size (>= ``in_size`` when the checkpoint was trained with extra params),
-    ``outcut`` the requested output size to cut predictions to.
+    ``outcut`` the requested output size to cut predictions to (pass it as
+    ``likelihood.make_log_prob(out_cut=...)``; the reference computed this
+    value and then never applied it — a latent shape crash,
+    linna/main.py:254-263 + util.py:1014).
+
+    Raises ``ValueError`` when the checkpoint's output is NARROWER than the
+    requested ``out_size`` — a cut cannot invent data-vector components.
     """
     in_saved, out_saved = _saved_shapes(outdir)
+    if out_saved < out_size:
+        raise ValueError(
+            f"checkpoint under {outdir} was trained with a {out_saved}-point "
+            f"output but a {out_size}-point data vector was requested; a "
+            "narrower model cannot be cut up to the data size"
+        )
     trainer = retrieve_model(outdir, in_saved, out_saved, model_name)
     incut = max(in_saved, in_size)
     return trainer, incut, out_size
@@ -432,12 +503,15 @@ def retrieve_model_wrapper(outdir: str, model_name: str = "chto_v2"):
     trainer = retrieve_model(outdir, in_size, out_size, model_name)
     spec, params, transforms = trainer.spec, trainer.params, trainer.transforms
 
+    linearmodel = trainer.linearmodel
+
     def emulator(x):
         x = jax.numpy.asarray(x, jax.numpy.float32)
         one = x.ndim == 1
         if one:
             x = x[None, :]
-        pred = N.apply_model(spec, params, transforms.x_transform(x))
+        x_in = transforms.x_transform(x)
+        pred = N.apply_model(spec, params, x_in, linearmodel=linearmodel)
         out = transforms.y_data.inverse(transforms.y_transform(pred))
         return out[0] if one else out
 
@@ -465,19 +539,38 @@ def ml_sampler(
     loglikelihoodfunc: Optional[Callable] = None,
 ):
     """LINNA with the To et al. 2022 hyperparameters baked in
-    (reference linna/main.py:22-75)."""
+    (reference linna/main.py:22-75).
+
+    ``method`` may be a single sampler name or a 4-entry per-iteration list
+    (``methodArr`` — extension beyond the reference's single-method table):
+    e.g. ``["zeus", "zeus", "zeus", "nuts"]`` anneals with the ensemble
+    slice sampler and draws the final posterior with NUTS gradients through
+    the emulator — the framework's measured-best flagship path
+    (docs/FLAGSHIP.md).  The gradient samplers (``hmc``/``nuts``) use the
+    zeus convergence table: their integrated autocorrelation time on the
+    trained emulator is O(1), so the tau-multiple criterion is loose by
+    construction and the Delta-tau / split-half stationarity thresholds are
+    the binding ones."""
     ntrainArr = [10000] * 4
     nvalArr = [500] * 4
-    if method == "emcee":
-        nkeepArr = [2, 2, 5, 4]
-        ntimesArr = [5, 5, 10, 15]
-        ntautolArr = [0.03, 0.03, 0.02, 0.01]
-    elif method == "zeus":
-        nkeepArr = [2, 2, 5, 5]
-        ntimesArr = [5, 5, 10, 50]
-        ntautolArr = [0.03, 0.03, 0.02, 0.01]
-    else:
-        raise NotImplementedError(method)
+    per_method = {
+        "emcee": ([2, 2, 5, 4], [5, 5, 10, 15], [0.03, 0.03, 0.02, 0.01]),
+        "zeus": ([2, 2, 5, 5], [5, 5, 10, 50], [0.03, 0.03, 0.02, 0.01]),
+    }
+    per_method["hmc"] = per_method["zeus"]
+    per_method["nuts"] = per_method["zeus"]
+    methods = [method] * 4 if isinstance(method, str) else [str(m) for m in method]
+    if len(methods) != 4:
+        raise ValueError(
+            f"ml_sampler's paper schedule has 4 iterations; method list has "
+            f"{len(methods)} entries (use ml_sampler_core for other schedules)"
+        )
+    unknown = [m for m in methods if m not in per_method]
+    if unknown:
+        raise NotImplementedError(unknown[0])
+    nkeepArr = [per_method[m][0][i] for i, m in enumerate(methods)]
+    ntimesArr = [per_method[m][1][i] for i, m in enumerate(methods)]
+    ntautolArr = [per_method[m][2][i] for i, m in enumerate(methods)]
     temperatureArr = [4.0, 2.0, 1.0, 1.0]
     meanshiftArr = [0.2] * 4
     stdshiftArr = [0.15] * 4
@@ -516,7 +609,7 @@ def ml_sampler(
         gpunode=gpunode,
         nnmodel_in="chto_v2",
         params=params,
-        method=method,
+        method=methods,
         nbest=nbest,
         chisqcut=chisqcut,
         loglikelihoodfunc=loglikelihoodfunc,
@@ -627,6 +720,9 @@ def ml_sampler_core(
         and not ypositive
         and nbest is None
         and chisqcut is None
+        # a fitted linearmodel embeds in the trainer/sampler HLO as
+        # constants, so the dummy-model warm programs would never match
+        and not params.get("linearmodel")
     ):
         from .parallel import precompile
 
@@ -760,23 +856,34 @@ def ml_sampler_core(
                         trace_rec=trec,
                     )
 
-            # skip MCMC when this iteration's chain already exists
-            # (linna/main.py:273-274 file gating); the primary's view is
-            # broadcast — a host that disagreed would skip the sharded
-            # sampler collectives the others dispatch
+            # skip MCMC when this iteration's chain already exists AND is
+            # complete (linna/main.py:273-274 file gating — the reference
+            # skips on bare existence, so a crash mid-sampling silently
+            # ships an unconverged chain on restart; here the exact-resume
+            # state blob distinguishes a finished chain from one whose
+            # sampler died mid-run, and the latter resumes through
+            # run_ensemble's bitwise-exact resume path).  The primary's view
+            # is broadcast — a host that disagreed would skip the sharded
+            # sampler collectives the others dispatch.
             chain_path = os.path.join(outdir_in, _chain_filename(methods[i]))
-            if not MH.primary_flag(os.path.isfile(chain_path)):
+            if not MH.primary_flag(
+                os.path.isfile(chain_path)
+                and not _chain_incomplete(chain_path, methods[i])
+            ):
                 # reference main.py:255-263: fall back to shape-inferred
                 # retrieval with flat[-1,1]-padded priors when the saved
                 # checkpoint was trained with more parameters than ``init``.
                 # The reference used a blanket try/except here; an explicit
                 # shape comparison keeps genuine retrieval failures
                 # (corrupt checkpoint, missing transforms) loud.
-                in_saved, _ = _saved_shapes(outdir_in)
-                if in_saved == ndim:
+                in_saved, out_saved = _saved_shapes(outdir_in)
+                out_cut = len(data) if out_saved != len(data) else None
+                if in_saved == ndim and out_cut is None:
                     trainer = retrieve_model(outdir_in, ndim, len(data), nnmodel_in)
                     pack_run, ndim_run, init_run = pack, ndim, init_white
                 else:
+                    # dimension-padded checkpoint: inputs get prior-padded
+                    # walkers, predictions get cut to the data width
                     trainer, incut, _ = retrieve_model_exist(
                         outdir_in, ndim, len(data), nnmodel_in
                     )
@@ -802,6 +909,8 @@ def ml_sampler_core(
                     external_loglike=externalloglike,
                     use_fused=bool(params.get("use_fused")),
                     compute_dtype=params.get("compute_dtype"),
+                    out_cut=out_cut,
+                    linearmodel=trainer.linearmodel,
                 )
                 jitter = 0.1 if methods[i] == "emcee" else 0.001
                 x0 = init_run + jitter * rng.standard_normal((nwalkers, ndim_run))
