@@ -159,3 +159,74 @@ def test_per_iteration_methods_validation(tmp_path):
         _run(str(tmp_path / "a"), method=["emcee", "emcee"])  # 1 iteration
     with _pytest.raises(NotImplementedError):
         _run(str(tmp_path / "b"), method=["not_a_sampler"])
+
+
+def test_ml_sampler_turnkey_defaults(monkeypatch):
+    """ml_sampler (the paper-defaults entry) accepts hmc/nuts and per-
+    iteration method lists, deriving each iteration's convergence numbers
+    from that iteration's method (gradient samplers use the zeus table)."""
+    import linna_tpu.orchestrator as O
+
+    captured = {}
+
+    def fake_core(ntrainArr, nvalArr, nkeepArr, ntimesArr, ntautolArr,
+                  *args, **kwargs):
+        captured.update(
+            nkeepArr=nkeepArr, ntimesArr=ntimesArr, ntautolArr=ntautolArr,
+            method=kwargs.get("method"),
+        )
+        return np.zeros((1, 2)), np.zeros((1, 1))
+
+    monkeypatch.setattr(O, "ml_sampler_core", fake_core)
+    common = dict(
+        outdir="/tmp/unused", theory=lambda x, o: x[1], priors=[],
+        data=np.zeros(3), cov=np.eye(3), init=np.zeros(2),
+    )
+    O.ml_sampler(method="nuts", **common)
+    assert captured["method"] == ["nuts"] * 4
+    assert captured["ntimesArr"] == [5, 5, 10, 50]  # zeus table
+    O.ml_sampler(method=["zeus", "zeus", "zeus", "nuts"], **common)
+    assert captured["method"] == ["zeus", "zeus", "zeus", "nuts"]
+    assert captured["nkeepArr"] == [2, 2, 5, 5]
+    O.ml_sampler(method=["emcee", "emcee", "emcee", "emcee"], **common)
+    assert captured["ntimesArr"] == [5, 5, 10, 15]  # emcee table
+    with pytest.raises(ValueError, match="4 iterations"):
+        O.ml_sampler(method=["zeus", "nuts"], **common)
+    with pytest.raises(NotImplementedError):
+        O.ml_sampler(method="not_a_sampler", **common)
+
+
+def test_mid_sampling_crash_resumes_chain(tmp_path, monkeypatch):
+    """A crash DURING an iteration's MCMC must resume that chain on restart,
+    not skip it: the reference's bare-existence gate (linna/main.py:273-274)
+    silently ships an unconverged chain after such a crash; the rebuild's
+    gate consults the exact-resume state blob (orchestrator._chain_incomplete)."""
+    from linna_tpu.samplers import backends as BK
+    from linna_tpu.samplers import run as SR
+
+    outdir = str(tmp_path / "out")
+
+    class _Killed(Exception):
+        pass
+
+    orig = SR.run_ensemble
+
+    def killing(*a, **kw):
+        kw["max_iterations"] = kw.get("check_every", 100)
+        kw["convergence_check"] = False  # die before any convergence verdict
+        orig(*a, **kw)
+        raise _Killed()
+
+    monkeypatch.setattr(SR, "run_ensemble", killing)
+    with pytest.raises(_Killed):
+        _run(outdir)
+    monkeypatch.undo()
+
+    part = os.path.join(outdir, "iter_0", SR.EMCEE_FILENAME)
+    assert os.path.isfile(part)
+    killed_at = BK.EmceeBackend(part).iteration
+    assert killed_at > 0
+
+    chain, logp = _run(outdir)  # identical command: the restart contract
+    assert BK.EmceeBackend(part).iteration > killed_at, "chain did not resume"
+    assert np.all(np.isfinite(chain)) and np.all(np.isfinite(logp))
