@@ -104,6 +104,12 @@ class EmceeBackend(_SamplerStateMixin):
             g.attrs["nwalkers"] = nwalkers
             g.attrs["ndim"] = ndim
             g.attrs["iteration"] = 0
+            # stock-emcee drop-in attrs (the reference's Transformbackend
+            # inherits them from emcee.backends.HDFBackend): has_blobs gates
+            # emcee's get_last_sample/get_blobs read path, version is the
+            # layout contract the file follows (tests/test_h5_interop.py)
+            g.attrs["has_blobs"] = False
+            g.attrs["version"] = "3.0.2"
             for dsname, shape in (
                 ("chain", (0, nwalkers, ndim)),
                 ("chain_transformed", (0, nwalkers, ndim)),
