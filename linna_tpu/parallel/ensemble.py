@@ -46,6 +46,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from .. import losses as L
 from .. import nn as N
 from ..train import (
+    BATCH_UNROLL,
     BEST_CKPT,
     LAST_CKPT,
     Supervisor,
@@ -94,6 +95,7 @@ class EnsembleTrainer:
         seeds: Sequence[int],
         mesh=None,
         compute_dtype: Optional[str] = None,
+        linearmodel=None,
     ):
         assert len(outdirs) == len(seeds)
         self.spec = spec
@@ -101,18 +103,43 @@ class EnsembleTrainer:
         self.loss_state = loss_state
         # opt-in mixed precision (see Trainer.compute_dtype)
         self.compute_dtype = compute_dtype
+        # optional frozen additive pre-model shared by every member
+        # (reference ChtoModelv2 ``linearmodel`` slot, linna/nn.py:104-108)
+        self.linearmodel = linearmodel
         self.outdirs = [str(d) for d in outdirs]
         self.n_members = len(outdirs)
         self.mesh = mesh if mesh is not None else make_ensemble_mesh(self.n_members)
         # per-member host PRNG streams, split exactly like Trainer.__init__
         self.member_keys = [jax.random.key(int(s)) for s in seeds]
-        inits = []
+        k_inits = []
         for m in range(self.n_members):
             self.member_keys[m], k_init = jax.random.split(self.member_keys[m])
-            inits.append(N.init_model(k_init, spec))
-        stacked = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *inits)
-        # put_global (not device_put): the mesh may span processes on a pod
-        self.params = put_global_tree(stacked, member_sharding(self.mesh, stacked))
+            k_inits.append(k_init)
+        init_fn = jax.vmap(lambda k: N.init_model(k, spec))
+        keys = jnp.stack(k_inits)
+        if jax.process_count() == 1:
+            # all member inits as ONE jitted device program placed straight
+            # onto the mesh: the previous eager per-member init + host
+            # restack paid dozens of per-op round trips and a full
+            # params-sized device->host->device bounce (measured in
+            # trace.json trainer_init_s — part of the 7.8 s/iteration
+            # stacked-init + LR-sweep wall, VERDICT r3 item 6).  Bitwise
+            # identical values: vmapped jax.random is elementwise in the key.
+            shapes = jax.eval_shape(init_fn, keys)
+            self.params = jax.jit(
+                init_fn, out_shardings=member_sharding(self.mesh, shapes)
+            )(keys)
+        else:
+            # pod path: the mesh spans processes, so the global array is
+            # built from per-shard host callbacks (put_global); every host
+            # computes the identical stacked init from the shared seeds
+            stacked = jax.tree.map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                *[jax.tree.map(np.asarray, N.init_model(k, spec)) for k in k_inits],
+            )
+            self.params = put_global_tree(
+                stacked, member_sharding(self.mesh, stacked)
+            )
         self.optimizer = _make_optimizer(mu_dtype=compute_dtype)
         self.opt_state = jax.jit(jax.vmap(self.optimizer.init))(self.params)
         self.lr = np.full(self.n_members, 1e-4)
@@ -131,11 +158,14 @@ class EnsembleTrainer:
     # run at the DES flagship shape; see Trainer._loss)
     def _member_loss(self, params, bx, by, tset, lstate):
         x = tset.x_transform(bx)
+        x32 = x
         if self.compute_dtype is not None:
             cd = jnp.dtype(self.compute_dtype)
             params = jax.tree.map(lambda a: a.astype(cd), params)
             x = x.astype(cd)
         pred = N.apply_model(self.spec, params, x).astype(jnp.float32)
+        if self.linearmodel is not None:
+            pred = pred + self.linearmodel(x32)
         return L.loss_fn(lstate, tset, pred, by)
 
     @partial(jax.jit, static_argnums=(0, 8), donate_argnums=(1, 2))
@@ -169,9 +199,11 @@ class EnsembleTrainer:
                     return (optax.apply_updates(p, updates), s), loss
 
                 (params, opt_state), batch_losses = jax.lax.scan(
-                    step, (params, opt_state), perm
+                    step, (params, opt_state), perm, unroll=BATCH_UNROLL
                 )
                 val_pred = N.apply_model(self.spec, params, tset.x_transform(val_x))
+                if self.linearmodel is not None:
+                    val_pred = val_pred + self.linearmodel(tset.x_transform(val_x))
                 val_metric = L.val_metric_fn(lstate, tset, val_pred, val_y)
                 if self.spec.out_size <= 16:
                     centered = val_pred - jnp.mean(val_pred, axis=0)

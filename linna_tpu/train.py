@@ -48,6 +48,13 @@ __all__ = ["EarlyStopping", "Trainer", "lr_range_test", "Supervisor"]
 LAST_CKPT = "last.ckpt.npz"
 BEST_CKPT = "best.ckpt.npz"
 MIN_LR = 2e-6
+# Unroll factor of the minibatch scan inside the epoch program.  Measured on
+# v5e at the DES flagship shape (TRAIN_PROFILE.json, bf16 K=2): 12.74 ->
+# 10.17 (unroll=2) -> 9.92 ms/epoch (unroll=4), a 22% epoch-wall cut — the
+# scan's per-iteration loop overhead was the largest single slice after the
+# round-3 optimizations (carry_only 1.74 ms/epoch).  Best-params tracking in
+# the epoch carry measured FREE (full_besttrack == full), so it stays.
+BATCH_UNROLL = 4
 
 
 class EarlyStopping:
@@ -316,12 +323,18 @@ class Trainer:
         seed: int = 1234,
         params=None,
         compute_dtype: Optional[str] = None,
+        linearmodel=None,
     ):
         self.spec = spec
         self.transforms = transforms
         self.loss_state = loss_state
         self.outdir = outdir
         self.seed = seed
+        # optional frozen additive pre-model under the NN (reference
+        # ChtoModelv2's ``linearmodel`` slot, linna/nn.py:104-108): the NN
+        # trains on the residual — see linear_model.py / the orchestrator's
+        # params["linearmodel"] hook
+        self.linearmodel = linearmodel
         # opt-in mixed precision: forward/backward in ``compute_dtype``
         # (e.g. "bfloat16"), f32 master weights + AdamW state + loss/metric
         # arithmetic — the training analogue of likelihood.compute_dtype
@@ -348,11 +361,16 @@ class Trainer:
     # and compiles once per shape, ever)
     def _loss(self, params, bx, by, tset, lstate):
         x = tset.x_transform(bx)
+        x32 = x
         if self.compute_dtype is not None:
             cd = jnp.dtype(self.compute_dtype)
             params = jax.tree.map(lambda a: a.astype(cd), params)
             x = x.astype(cd)
         pred = N.apply_model(self.spec, params, x).astype(jnp.float32)
+        if self.linearmodel is not None:
+            # frozen additive pre-model in f32 (reference nn.py:104-108:
+            # forward output = trunk + linearmodel(input))
+            pred = pred + self.linearmodel(x32)
         return L.loss_fn(lstate, tset, pred, by)
 
     @partial(jax.jit, static_argnums=(0, 8), donate_argnums=(1, 2))
@@ -387,9 +405,11 @@ class Trainer:
                 return (optax.apply_updates(p, updates), s), loss
 
             (params, opt_state), batch_losses = jax.lax.scan(
-                step, (params, opt_state), perm
+                step, (params, opt_state), perm, unroll=BATCH_UNROLL
             )
             val_pred = N.apply_model(self.spec, params, tset.x_transform(val_x))
+            if self.linearmodel is not None:
+                val_pred = val_pred + self.linearmodel(tset.x_transform(val_x))
             val_metric = L.val_metric_fn(lstate, tset, val_pred, val_y)
             if self.spec.out_size <= 16:
                 centered = val_pred - jnp.mean(val_pred, axis=0)
@@ -654,7 +674,10 @@ class Trainer:
         one = x.ndim == 1
         if one:
             x = x[None, :]
-        pred = N.apply_model(self.spec, self.params, self.transforms.x_transform(x))
+        x_in = self.transforms.x_transform(x)
+        pred = N.apply_model(self.spec, self.params, x_in)
+        if self.linearmodel is not None:
+            pred = pred + self.linearmodel(x_in)
         out = self.transforms.y_transform(pred)
         return out[0] if one else out
 
