@@ -72,3 +72,62 @@ def test_nn_linearmodel_composition():
     np.testing.assert_allclose(
         np.asarray(out_with - out_without), np.asarray(lm(jnp.asarray(x))), rtol=1e-4, atol=1e-5
     )
+
+
+def test_orchestrator_linearmodel_hook(tmp_path):
+    """params["linearmodel"] wires the fitted PCA+polynomial pre-model
+    through training AND sampling (the reference's orchestrator-unreachable
+    ChtoModelv2 linearmodel slot, linna/nn.py:104-108 / util.py:1464)."""
+    import os
+
+    from linna_tpu import ml_sampler_core
+    from linna_tpu.orchestrator import (
+        LINEAR_MODEL_FILE, retrieve_model, retrieve_model_wrapper,
+    )
+
+    ndim = 2
+    cov = np.diag([0.4, 0.3])
+    means = np.array([0.2, -0.1])
+    priors = [
+        {"param": f"l{i}", "dist": "flat", "arg1": -2.0, "arg2": 2.0}
+        for i in range(ndim)
+    ]
+    outdir = str(tmp_path / "out")
+    chain, logp = ml_sampler_core(
+        ntrainArr=[40], nvalArr=[10], nkeepArr=[1], ntimesArr=[2],
+        ntautolArr=[0.5], meanshiftArr=[100], stdshiftArr=[100],
+        outdir=outdir, theory=lambda x, o: np.asarray(x[1], np.float64).copy(),
+        priors=priors, data=means, cov=cov, init=np.zeros(ndim), pool=None,
+        nwalkers=8, temperatureArr=[1.0],
+        params={"trainingoption": 1, "num_epochs": 15, "batch_size": 10,
+                "linearmodel": {"norder": 1}},
+        method="emcee", seed=5,
+    )
+    it0 = os.path.join(outdir, "iter_0")
+    assert os.path.isfile(os.path.join(it0, LINEAR_MODEL_FILE))
+    assert np.all(np.isfinite(chain)) and np.all(np.isfinite(logp))
+
+    # retrieval composes the pre-model: wrapper output == NN + LM pathway
+    trainer = retrieve_model(it0, ndim, ndim)
+    assert trainer.linearmodel is not None
+    emulator = retrieve_model_wrapper(it0)
+    x = jnp.asarray([[0.1, 0.2]], jnp.float32)
+    from linna_tpu import nn as N
+
+    x_in = trainer.transforms.x_transform(x)
+    manual = N.apply_model(
+        trainer.spec, trainer.params, x_in, linearmodel=trainer.linearmodel
+    )
+    manual = trainer.transforms.y_data.inverse(
+        trainer.transforms.y_transform(manual)
+    )
+    np.testing.assert_allclose(
+        np.asarray(emulator(x)), np.asarray(manual), rtol=1e-5
+    )
+    # and differs from the bare-NN pathway (the pre-model is really there)
+    bare = trainer.transforms.y_data.inverse(
+        trainer.transforms.y_transform(
+            N.apply_model(trainer.spec, trainer.params, x_in)
+        )
+    )
+    assert not np.allclose(np.asarray(emulator(x)), np.asarray(bare))
