@@ -46,7 +46,13 @@ class XTransform(NamedTuple):
     log10_mask: jax.Array  # bool[D]
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        x1 = jnp.where(self.log10_mask, jnp.log10(x), x)
+        # double-where: log10 must never SEE the unselected lanes.  A bare
+        # ``where(mask, log10(x), x)`` has a NaN *gradient* at any x <= 0
+        # even when the mask is False there (the unselected branch's
+        # d log10/dx = inf rides 0 * inf = NaN through where's VJP) — which
+        # poisoned HMC/NUTS gradients at whitened 0 for plain flat priors.
+        safe = jnp.where(self.log10_mask, x, 1.0)
+        x1 = jnp.where(self.log10_mask, jnp.log10(safe), x)
         return (x1 - self.mean) / self.std
 
 

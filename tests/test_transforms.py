@@ -96,3 +96,21 @@ def test_transformset_npz_roundtrip(tmp_path):
     npt.assert_allclose(np.asarray(ts2.y_transform.std), np.asarray(ts.y_transform.std))
     npt.assert_allclose(np.asarray(ts2.y_data.sigma), np.asarray(ts.y_data.sigma))
     assert ts2.y_transform.ypositive == ts.y_transform.ypositive
+
+
+def test_x_transform_gradient_finite_at_zero():
+    """Gradients through XTransform must be finite at x == 0 for lanes the
+    log10 mask does NOT select: a bare where(mask, log10(x), x) rides
+    0 * inf = NaN through the VJP and poisoned HMC/NUTS gradients at the
+    whitened origin (regression; examples/walkthrough.py surfaces it)."""
+    import jax
+
+    xt = T.XTransform(
+        jnp.zeros(3), jnp.ones(3), jnp.asarray([False, True, False])
+    )
+    x = jnp.asarray([0.0, 2.0, -1.0])  # lane 0 hits the trap point
+    g = jax.grad(lambda z: xt(z).sum())(x)
+    assert np.all(np.isfinite(np.asarray(g))), g
+    # the selected lane's log10 derivative is still exact
+    np.testing.assert_allclose(float(g[1]), 1.0 / (2.0 * np.log(10.0)), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g)[[0, 2]], [1.0, 1.0], rtol=1e-6)
