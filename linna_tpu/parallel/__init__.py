@@ -8,7 +8,9 @@ Here the equivalent axes live on the TPU mesh:
 - ``data`` axis: data-parallel training batches and MCMC walker sharding —
   gradients all-reduce over ICI via GSPMD-inserted psums;
 - ``model`` axis: Megatron-style tensor parallelism over the emulator trunk
-  width (column/row-parallel alternation through the residual stack).
+  width (column/row-parallel alternation through the residual stack) —
+  **experimental, dryrun/test-only**: LINNA's emulators fit on one chip, so
+  no production path routes through it (see dtrain.py's docstring).
 
 Everything is expressed as ``NamedSharding`` annotations on a single ``jit``;
 XLA inserts the collectives.

@@ -1,4 +1,4 @@
-"""Mesh-sharded training steps.
+"""Mesh-sharded training steps — **experimental / dryrun- and test-only**.
 
 The reference scaffolded torch DDP data parallelism but never activated it
 (reference linna/predictor_gpu.py:264-267,407-411; production calls pass
@@ -7,6 +7,16 @@ first-class jit: the batch is sharded over the 'data' mesh axis, parameters
 and optimizer state are sharded over 'model' (tensor parallel) or replicated,
 and GSPMD inserts the gradient all-reduce — the psum the reference would have
 gotten from DDP's NCCL ring rides ICI instead.
+
+Production status: the orchestrator's active multi-device trainer is
+``parallel/ensemble.EnsembleTrainer`` (('ens','data') mesh — data-parallel
+within a member, members independent); it covers everything the pipeline
+needs because LINNA's emulators (≤ ~1000-wide trunks) fit on one chip with
+orders of magnitude of headroom, so tensor-parallel weight sharding has no
+production shape where it pays.  This module stays as the validated
+sharding recipe for a future model size that needs it — it is compiled and
+executed by ``__graft_entry__.dryrun_multichip`` and ``tests/test_parallel.py``
+but is NOT reachable from ``ml_sampler_core``.
 """
 
 from __future__ import annotations
