@@ -48,6 +48,7 @@ def main(
     out: str = "FLAGSHIP.json",
     theory_mod: str = "examples.des_theory",
     config_yaml: str = "examples/des_synthetic.yaml",
+    check: float | None = None,
 ):
     from bench_common import exact_posterior_filename, theory_tag
 
@@ -247,16 +248,41 @@ def main(
     with open(os.path.join(HERE, out), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
+
+    # --check: the accuracy headline verifies ITSELF (VERDICT r3 item 2) —
+    # the freshly measured emulator bias against the stored exact-likelihood
+    # posterior must stay under the threshold, or this command exits
+    # nonzero.  A regression in training/sampling accuracy now fails a
+    # command instead of needing a human to read JSON (the spirit of the
+    # reference's pinned chain moments, /root/reference/tests/test_main.py:50-51).
+    if check is not None:
+        if emu_bias is not None:
+            metric, name = emu_bias, "emulator bias (vs exact posterior)"
+        else:
+            metric, name = err_sigma, "posterior error (vs synthetic truth)"
+        worst = float(np.max(metric))
+        ok = worst <= check
+        print(
+            f"CHECK {'PASS' if ok else 'FAIL'}: max {name} = {worst:.3f} "
+            f"sigma (threshold {check}); median {float(np.median(metric)):.3f}",
+            flush=True,
+        )
+        if not ok:
+            sys.exit(1)
     return result
 
 
 if __name__ == "__main__":
-    # CLI: [--resume] [out=FILE.json] [key=value ...]  — key=value entries
-    # override the YAML config (e.g. train_compute_dtype=bfloat16)
+    # CLI: [--resume] [--check] [out=FILE.json] [key=value ...]  — key=value
+    # entries override the YAML config (e.g. train_compute_dtype=bfloat16).
+    # --check (or check=0.15): exit nonzero when the measured max emulator
+    # bias vs the stored exact posterior exceeds the threshold (default 0.1
+    # sigma) — the self-verifying accuracy gate.
     _overrides, _out = {}, "FLAGSHIP.json"
     _theory, _yaml = "examples.des_theory", "examples/des_synthetic.yaml"
+    _check = 0.1 if "--check" in sys.argv else None
     for arg in sys.argv[1:]:
-        if arg == "--resume" or "=" not in arg:
+        if arg in ("--resume", "--check") or "=" not in arg:
             continue
         k, _, v = arg.partition("=")
         if k == "out":
@@ -265,6 +291,8 @@ if __name__ == "__main__":
             _theory = v
         elif k == "yaml":
             _yaml = v
+        elif k == "check":
+            _check = float(v)
         else:
             try:
                 v = json.loads(v)
@@ -272,4 +300,4 @@ if __name__ == "__main__":
                 pass
             _overrides[k] = v
     main(fresh="--resume" not in sys.argv, overrides=_overrides, out=_out,
-         theory_mod=_theory, config_yaml=_yaml)
+         theory_mod=_theory, config_yaml=_yaml, check=_check)
