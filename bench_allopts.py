@@ -55,13 +55,26 @@ def main(out: str = "FLAGSHIP_ALLOPTS_r04.json", fresh: bool = True):
         return pos_vec(x[1])
 
     data = pos_vec(truth_params)
-    # ~1% relative noise in the positive observable
-    sigma = 0.01 * np.abs(data)
+    # noise mapped from the flagship recipe through the delta method
+    # (sigma_pos = |d(exp(0.5 y))/dy| * sigma_raw): the positive-observable
+    # posterior then has the SAME parameter-space widths as the well-tested
+    # des_synthetic flagship.  (A naive 1%-relative noise makes the
+    # posterior ~50 sigma from init and the T=1 burn-in never ends.)
+    # Triplet format is (i, j, gauss, non-gauss) — read_triplet_cov sums
+    # the LAST TWO columns.
+    sigma_raw = T.noise_sigma(T.data_vector(truth_params))
+    sigma = 0.5 * np.abs(data) * sigma_raw
     rows = np.stack(
-        [np.arange(NDATA), np.arange(NDATA), sigma**2], axis=1
+        [np.arange(NDATA), np.arange(NDATA), sigma**2, np.zeros(NDATA)],
+        axis=1,
     )
     cov = read_triplet_cov(rows)
     inv_cov = np.linalg.inv(cov)
+    # chisqcut acts on the RAW prediction norm y^T C^-1 y (reference
+    # linna/util.py:1260-1270), which for a survey-like data vector is the
+    # total SNR^2 (~4.6e6 here) — scale the cut to it so the filter drops
+    # the far tail of the prior LHS without emptying the training set
+    snr2 = float(data @ inv_cov @ data)
 
     priors = [
         {"param": f"p{i}", "dist": "flat", "arg1": -1.0, "arg2": 1.0}
@@ -73,13 +86,13 @@ def main(out: str = "FLAGSHIP_ALLOPTS_r04.json", fresh: bool = True):
 
     t0 = time.time()
     chain, logp = ml_sampler_core(
-        ntrainArr=[3000, 3000, 3000],
-        nvalArr=[300, 300, 300],
-        nkeepArr=[2, 5, 5],
-        ntimesArr=[5, 10, 50],
-        ntautolArr=[0.03, 0.02, 0.01],
-        meanshiftArr=[0.2] * 3,
-        stdshiftArr=[0.15] * 3,
+        ntrainArr=[2000, 2000, 2000, 2000],
+        nvalArr=[200, 200, 200, 200],
+        nkeepArr=[2, 2, 5, 5],
+        ntimesArr=[5, 5, 10, 50],
+        ntautolArr=[0.03, 0.03, 0.02, 0.01],
+        meanshiftArr=[0.2] * 4,
+        stdshiftArr=[0.15] * 4,
         outdir=outdir,
         theory=theory,
         priors=priors,
@@ -89,7 +102,11 @@ def main(out: str = "FLAGSHIP_ALLOPTS_r04.json", fresh: bool = True):
         pool=None,
         nwalkers=256,
         ypositive=True,                      # log-space y transforms
-        temperatureArr=[4.0, 1.0, 1.0],
+        # the paper/reference annealing (T^2 = 16,4,1,1): the first T=1
+        # chain starts ~50 posterior-sigma from the mode (x0 = init +
+        # 0.001 jitter each iteration, reference util.py:921) and only
+        # reaches it because the T^2=4 iteration bridged the gap
+        temperatureArr=[4.0, 2.0, 1.0, 1.0],
         params={
             "trainingoption": 1,
             "num_epochs": 800,
@@ -99,8 +116,8 @@ def main(out: str = "FLAGSHIP_ALLOPTS_r04.json", fresh: bool = True):
             "nimp": 2000,                    # importance-sampling post-pass
         },
         method="zeus",
-        nbest=[200, 200, 200],               # optimizer best-point injection
-        chisqcut=4.0 * NDATA,                # drop far-off-data training rows
+        nbest=[200, 200, 200, 200],               # optimizer best-point injection
+        chisqcut=2.0 * snr2,                 # drop far-tail training rows
         seed=13,
         verbose=True,
     )
@@ -116,7 +133,7 @@ def main(out: str = "FLAGSHIP_ALLOPTS_r04.json", fresh: bool = True):
                     "seconds", 0.0
                 )
 
-    final_dir = os.path.join(outdir, "iter_2")
+    final_dir = os.path.join(outdir, "iter_3")
     backend = ZeusBackend(os.path.join(final_dir, "zeus_256.h5"))
     raw = backend.get_value("chain_transformed")
     rhat = convergence.gelman_rubin(raw[len(raw) // 5 :], split=True)
@@ -143,7 +160,7 @@ def main(out: str = "FLAGSHIP_ALLOPTS_r04.json", fresh: bool = True):
         "value": round(wall, 1),
         "unit": "s",
         "options": {
-            "nbest": 200, "chisqcut": 4.0 * NDATA, "ypositive": True,
+            "nbest": 200, "chisqcut": "2*SNR^2", "ypositive": True,
             "nimp": 2000, "nensemble": 2,
         },
         "phases_s": {k: round(v, 1) for k, v in phases.items()},
@@ -157,7 +174,7 @@ def main(out: str = "FLAGSHIP_ALLOPTS_r04.json", fresh: bool = True):
         ),
         "artifacts": artifacts,
         "chain_finite": bool(np.all(np.isfinite(chain))),
-        "config": "3 iters x 3000, T^2=16,1,1, zeus 256 walkers, K=2, "
+        "config": "4 iters x 2000, T^2=16,4,1,1, zeus 256 walkers, K=2, "
                   "positive-observable DES shape (exp(0.5*synthetic))",
     }
     with open(os.path.join(HERE, out), "w") as f:

@@ -80,7 +80,11 @@ def _load_pairs(
     — the reference's ``len(_) > 1`` skip (linna/util.py:1347-1357) existed
     to work around np.loadtxt's squeeze and silently dropped both cases.
     ``skip_missing`` tolerates directories without the split's files (an
-    iteration that ran with best points disabled).
+    iteration that ran with best points disabled) AND an all-empty split —
+    returning ``(None, None)`` in that case: ``chisqcut`` can legitimately
+    empty the best files when the optimizer's MAP estimate lands far from
+    the data (the reference tolerates this via its ``len(_) > 1`` guards,
+    linna/util.py:1342-1373; found by the all-options flagship run).
     """
     xs: List[np.ndarray] = []
     ys: List[np.ndarray] = []
@@ -96,6 +100,8 @@ def _load_pairs(
         if y.size:
             ys.append(y)
     if not xs or not ys:
+        if skip_missing:
+            return None, None
         raise ValueError(
             f"no '{name}' sample rows found under {list(outdir_list)}"
         )
@@ -123,15 +129,16 @@ def load_iteration_stack(
         y_stats = train_y
     if usebest:
         bx, by = _load_pairs(outdir_list, "best", skip_missing=True)
-        train_x = np.concatenate([bx, train_x])
-        train_y = np.concatenate([by, train_y])
-        try:
-            bvx, bvy = _load_pairs(outdir_list, "best_val", skip_missing=True)
-        except ValueError:
+        if bx is not None:
+            train_x = np.concatenate([bx, train_x])
+            train_y = np.concatenate([by, train_y])
+        bvx, bvy = _load_pairs(outdir_list, "best_val", skip_missing=True)
+        if bvx is None:
             # pre-best_val artifact layout: validate on the best points
             bvx, bvy = bx, by
-        val_x = np.concatenate([bvx, val_x])
-        val_y = np.concatenate([bvy, val_y])
+        if bvx is not None:
+            val_x = np.concatenate([bvx, val_x])
+            val_y = np.concatenate([bvy, val_y])
     return TrainingData(train_x, train_y, val_x, val_y, y_stats)
 
 

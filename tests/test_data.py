@@ -271,3 +271,21 @@ def test_clear_cache_empties_dir_cache(tmp_path):
     assert D._DIR_CACHE
     D.clear_cache()
     assert not D._DIR_CACHE
+
+
+def test_usebest_tolerates_empty_best_files(tmp_path):
+    """chisqcut can legitimately empty the best-point files (the MAP search
+    landed far off-data); the stack loader must then train on the ordinary
+    rows instead of raising — the reference's len(_)>1 guards tolerate this
+    (linna/util.py:1342-1373; found by the all-options flagship run)."""
+    d = tmp_path / "iter_0"
+    _write_iteration(d, 8, seed=9)
+    # empty best split, as _chisqcut_files leaves it
+    np.savetxt(D.sample_x_path(str(d), "best"), np.empty((0, 2)))
+    np.save(D.sample_y_path(str(d), "best"), np.empty((0, 3)))
+    np.savetxt(D.sample_x_path(str(d), "best_val"), np.empty((0, 2)))
+    np.save(D.sample_y_path(str(d), "best_val"), np.empty((0, 3)))
+    stack = D.load_iteration_stack([str(d)], usebest=True)
+    assert len(stack.train_x) == 8
+    fast = D.load_curated_stack([str(d)], usebest=True)
+    assert len(fast.train_x) == 8
