@@ -23,6 +23,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")  # defeat the container sitecustomize
 
+# Persistent compile cache for this SHORT-LIVED worker (the parent test
+# overrides the session's cache-off default in the child env): the two
+# fresh processes each paid the full mesh-program compile serially on the
+# 1-core CI box — 260 s of the fast tier for one test.  The deserialize
+# segfault the session-wide cache-off guards against has only ever been
+# observed in LONG pytest sessions; short-lived processes (bench.py, this
+# worker) run with the cache in production and have not reproduced it.
+from linna_tpu.orchestrator import _enable_compile_cache  # noqa: E402
+
+_enable_compile_cache()
+
 from linna_tpu.parallel import multihost as MH  # noqa: E402
 
 multi = MH.initialize()  # configured via LINNA_* env

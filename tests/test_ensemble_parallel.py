@@ -108,12 +108,12 @@ def test_ensemble_resume_from_best(tmp_path):
     spec = N.make_model_spec("chto_simple", 2, 3)
     dirs = [str(tmp_path / f"m{k}") for k in range(2)]
     et = EnsembleTrainer(spec, ts, state, dirs, [7, 1007])
-    et.train(tx, ty, vx, vy, num_epochs=12, batch_size=16)
+    et.train(tx, ty, vx, vy, num_epochs=10, batch_size=16)
     first_best = et.best_val_loss.copy()
     assert np.all(np.isfinite(first_best))
 
     et2 = EnsembleTrainer(spec, ts, state, dirs, [7, 1007])
-    et2.train(tx, ty, vx, vy, num_epochs=12, batch_size=16)
+    et2.train(tx, ty, vx, vy, num_epochs=10, batch_size=16)
     # resumed best can only improve
     assert np.all(et2.best_val_loss <= first_best + 1e-9)
 
@@ -138,7 +138,7 @@ def test_orchestrator_routes_ensemble_through_mesh(tmp_path):
     cov = np.eye(2) * 0.1
     O.train_emulator(
         outdir, [outdir], data, cov, np.sqrt(np.diag(cov)), None, False,
-        "chto_simple", {"num_epochs": 8, "batch_size": 8, "nensemble": 2},
+        "chto_simple", {"num_epochs": 10, "batch_size": 16, "nensemble": 2},
     )
     assert os.path.isfile(os.path.join(outdir, "best.ckpt.npz"))
     assert os.path.isfile(os.path.join(outdir, "ens_1", "best.ckpt.npz"))

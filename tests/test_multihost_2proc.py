@@ -52,6 +52,10 @@ def test_two_process_spmd_pipeline(tmp_path):
         "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
         "LINNA_COORDINATOR_ADDRESS": f"localhost:{port}",
         "LINNA_NUM_PROCESSES": "2",
+        # short-lived workers get the persistent compile cache (overrides
+        # the conftest's session-wide cache-off): repeat suite runs then
+        # skip the ~2 min of per-process mesh compiles (see _mh2_worker.py)
+        "LINNA_COMPILE_CACHE": "/tmp/linna_test_mh2_cache",
     }
     procs = [
         subprocess.Popen(
@@ -134,6 +138,10 @@ def test_pod_launch_example_two_processes(tmp_path):
         "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
         "LINNA_COORDINATOR_ADDRESS": f"localhost:{port}",
         "LINNA_NUM_PROCESSES": "2",
+        # short-lived workers get the persistent compile cache (overrides
+        # the conftest's session-wide cache-off): repeat suite runs then
+        # skip the ~2 min of per-process mesh compiles (see _mh2_worker.py)
+        "LINNA_COMPILE_CACHE": "/tmp/linna_test_mh2_cache",
     }
     # bootstrap pins the platform via jax.config BEFORE pod_launch runs
     # (belt and braces against environments whose site hooks re-point
