@@ -789,13 +789,17 @@ def ml_sampler_core(
         elif MH.is_primary():
             # the cut chain only feeds the primary-gated training-point
             # generation below; the other pod hosts skip the full-chain
-            # HDF5 read + tau estimate it costs
+            # HDF5 read + tau estimate it costs.  Phase-timed: at flagship
+            # scale these reads + their batched-FFT tau estimates are
+            # multi-second host work that previously hid outside every
+            # trace phase (the r04 run's ~60 s of unattributed wall).
             prev = os.path.join(
                 outdir, f"iter_{i-1}/", _chain_filename(methods[i - 1])
             )
-            chain, _, _ = read_chain_and_cut(
-                prev, nk, ntimes, method=methods[i - 1]
-            )
+            with timer.phase("read_chain_and_cut", iteration=i - 1):
+                chain, _, _ = read_chain_and_cut(
+                    prev, nk, ntimes, method=methods[i - 1]
+                )
 
         nnsampler = SG.NNSampler(outdir_in, prior_range)
         with timer.phase("generate_training_point", iteration=i, n=nt + nv):
@@ -944,9 +948,10 @@ def ml_sampler_core(
     # reference overwrites them with the full-chain flat array,
     # linna/main.py:291 — misaligned with the cut chain it returns next to
     # them; deliberate deviation.)
-    chain, log_prob_samples, reader = read_chain_and_cut(
-        last, nkeepArr[-1], ntimesArr[-1], method=methods[-1], flat=True
-    )
+    with timer.phase("read_chain_and_cut", iteration=len(ntrainArr) - 1):
+        chain, log_prob_samples, reader = read_chain_and_cut(
+            last, nkeepArr[-1], ntimesArr[-1], method=methods[-1], flat=True
+        )
 
     if "nimp" in params and is_master:
         imp_args = (
