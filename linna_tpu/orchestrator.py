@@ -970,7 +970,8 @@ def ml_sampler_core(
             rng,
         )
         if MH.is_primary():
-            chain, log_prob_samples = _importance_sampling(*imp_args)
+            with timer.phase("importance_sampling", n=int(params["nimp"])):
+                chain, log_prob_samples = _importance_sampling(*imp_args)
         # non-primary pod hosts rendezvous, then take the file-gated read
         # paths through the same function (samples/theory already on disk)
         MH.barrier("importance")
