@@ -71,6 +71,12 @@ def _enable_compile_cache() -> None:
     remote-compile device).  Opt out / relocate with ``LINNA_COMPILE_CACHE``
     (set to ``0`` to disable)."""
     from .parallel.precompile import compile_cache_dir
+    from .utils.runtime import check_map_count
+
+    # long-lived production processes (multi-analysis servers, long sweeps)
+    # hit the same vm.max_map_count JIT-mapping exhaustion the test suite
+    # root-caused in round 4 — warn (or self-heal, opt-in) at startup
+    check_map_count()
 
     cache_dir = compile_cache_dir()
     if cache_dir is None:
@@ -105,17 +111,23 @@ def _open_backend(chainname: str, method: str):
 
 def _chain_incomplete(chain_path: str, method: str) -> bool:
     """True when the chain file exists but its exact-resume state blob says
-    the sampler died mid-run (``_converged`` False).  Chains without a blob
-    or without the flag (legacy files, reference-produced fixtures) are
-    treated as complete, preserving the reference's bare-existence gate for
-    them (linna/main.py:273-274)."""
+    the sampler died mid-run: no ``_finished`` terminal marker (stamped by
+    run_ensemble on every legitimate exit — converged, max_iterations, or
+    NaN-tau stop) and not ``_converged``.  A chain that stopped on purpose
+    without converging keeps the reference's skip-on-existence semantics
+    (linna/main.py:273-274) instead of being re-extended on every restart.
+    Chains without a blob or without the flags (legacy files,
+    reference-produced fixtures) are treated as complete."""
     try:
         blob = _open_backend(chain_path, method).load_state()
     except OSError:
         return False
-    if blob is None or "_converged" not in blob:
+    if blob is None or ("_converged" not in blob and "_finished" not in blob):
         return False
-    return not bool(np.asarray(blob["_converged"]))
+    done = bool(np.asarray(blob.get("_converged", False))) or bool(
+        np.asarray(blob.get("_finished", False))
+    )
+    return not done
 
 
 def get_good_walker_list(log_prob_samples: np.ndarray) -> np.ndarray:
@@ -261,8 +273,23 @@ def train_emulator(
     # ``params["linearmodel"]``: truthy to enable; a dict passes fit kwargs
     # (norder/npc).  The fitted model is persisted pickle-free and added to
     # every member's forward during training AND sampling.
+    spec = N.make_model_spec(
+        model_name, stack.train_x.shape[-1], stack.train_y.shape[-1]
+    )
     linearmodel = None
     lm_cfg = params.get("linearmodel")
+    if lm_cfg and spec.linear_bypass:
+        # apply_model ignores the external pre-model for linear_bypass specs
+        # (the reference's ChtoModelv2_linear.forward never calls
+        # self.linearmodel, linna/nn.py:220-232) — silently accepting the
+        # combination would train NN+LM but sample NN-only, biasing the
+        # posterior.  Fail at configuration time instead.
+        raise ValueError(
+            f"params['linearmodel'] cannot be combined with the "
+            f"'{model_name}' model: its built-in 1e-3 linear bypass replaces "
+            f"the external pre-model slot (reference linna/nn.py:220-232). "
+            f"Use 'chto_v2' or 'chto_simple' with linearmodel, or drop it."
+        )
     if lm_cfg:
         from . import linear_model as LM
         from .losses import SENTINEL_HIGH, SENTINEL_LOW
@@ -292,9 +319,6 @@ def train_emulator(
                 LM.save_linear_model(lm_path, linearmodel)
 
     loss_state = L.build_loss_state(data_vec, cov, transforms)
-    spec = N.make_model_spec(
-        model_name, stack.train_x.shape[-1], stack.train_y.shape[-1]
-    )
     # nensemble > 1 trains K independently seeded emulators (member 0 in
     # outdir_in for reference artifact parity, members 1..K-1 in ens_k/);
     # sampling combines them conservatively — see likelihood.make_log_prob.
@@ -422,7 +446,11 @@ def retrieve_model(
     trainer.loss_state = None
     trainer.linearmodel = None
     lm_path = os.path.join(outdir, LINEAR_MODEL_FILE)
-    if os.path.isfile(lm_path):
+    # linear_bypass specs never train with an external pre-model (the
+    # constructors raise on the combination); a stale artifact from another
+    # model config must not be attached, since apply_model would ignore it
+    # while Trainer._loss would not
+    if os.path.isfile(lm_path) and not spec.linear_bypass:
         from .linear_model import load_linear_model
 
         trainer.linearmodel = load_linear_model(lm_path)

@@ -105,6 +105,14 @@ class EnsembleTrainer:
         self.compute_dtype = compute_dtype
         # optional frozen additive pre-model shared by every member
         # (reference ChtoModelv2 ``linearmodel`` slot, linna/nn.py:104-108)
+        if linearmodel is not None and spec.linear_bypass:
+            # same contract as Trainer.__init__: apply_model ignores the
+            # external pre-model for linear_bypass specs (reference
+            # linna/nn.py:220-232) — reject the silent train/inference skew
+            raise ValueError(
+                "linearmodel cannot be combined with a linear_bypass model "
+                "spec (the built-in 1e-3 bypass replaces the pre-model slot)"
+            )
         self.linearmodel = linearmodel
         self.outdirs = [str(d) for d in outdirs]
         self.n_members = len(outdirs)

@@ -459,6 +459,7 @@ def run_ensemble(
         last_tau_iter = int(state_blob["_last_tau_iter"])
 
     converged_flag = False
+    finished_flag = False
 
     def _save_state() -> None:
         # fetch inside _state_to_blob is a collective — all hosts call this;
@@ -471,6 +472,14 @@ def run_ensemble(
         blob["_next_tau_iter"] = np.asarray(float(next_tau_iter))
         blob["_last_tau_iter"] = np.asarray(int(last_tau_iter))
         blob["_converged"] = np.asarray(bool(converged_flag))
+        # terminal marker: False for every mid-run save, True once the run
+        # exits through ANY legitimate stop (converged, max_iterations,
+        # NaN-tau bailout).  Distinguishes a chain whose process died mid-run
+        # (no terminal save → orchestrator._chain_incomplete resumes it) from
+        # one that stopped on purpose without converging, which the reference
+        # skips on bare existence (linna/main.py:273-274) and which would
+        # otherwise be re-entered — and re-extended — on every restart.
+        blob["_finished"] = np.asarray(bool(finished_flag))
         if MH.is_primary():
             backend.save_state(blob)
 
@@ -584,14 +593,21 @@ def run_ensemble(
     def _advance(st):
         """Dispatch one check_every-step device chunk (async — returns
         future arrays; nothing blocks until the host touches them)."""
+        # walker_mesh routes the ensemble moves through shard_over_walkers
+        # (device-local while_loops; 2 collectives/step instead of 10-30 —
+        # stretch.py/slicemove.py docstrings); HMC/NUTS chunks have zero
+        # cross-walker data motion and need no mesh plumbing
         if method == "emcee":
-            return stretch.stretch_chunk(lp_fn, st, check_every, a, lp_env=lp_env)
+            return stretch.stretch_chunk(
+                lp_fn, st, check_every, a, lp_env=lp_env, mesh=walker_mesh
+            )
         if method == "hmc":
             return hmc.hmc_chunk(lp_fn, st, check_every, n_leapfrog, lp_env=lp_env)
         if method == "nuts":
             return hmc.nuts_chunk(lp_fn, st, check_every, max_depth, lp_env=lp_env)
         return slicemove.slice_chunk(
-            lp_fn, st, check_every, slice_max_steps, lp_env=lp_env
+            lp_fn, st, check_every, slice_max_steps, lp_env=lp_env,
+            mesh=walker_mesh,
         )
 
     # Double-buffered dispatch: chunk k+1 is enqueued on the device BEFORE
@@ -674,5 +690,10 @@ def run_ensemble(
         if converged or nan_stop:
             break
 
+    # legitimate exit (converged / max_iterations / NaN-tau): stamp the
+    # terminal marker so restarts treat this chain as complete rather than
+    # mid-run dead (the in-loop saves could not know the loop was ending)
+    finished_flag = True
+    _save_state()
     _finish_trace()
     return backend

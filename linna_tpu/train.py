@@ -334,6 +334,15 @@ class Trainer:
         # ChtoModelv2's ``linearmodel`` slot, linna/nn.py:104-108): the NN
         # trains on the residual — see linear_model.py / the orchestrator's
         # params["linearmodel"] hook
+        if linearmodel is not None and spec.linear_bypass:
+            # apply_model ignores the external pre-model for linear_bypass
+            # specs (reference ChtoModelv2_linear.forward, linna/nn.py:220-232)
+            # — training NN+LM here while sampling evaluates NN-only would be
+            # a silent train/inference mismatch
+            raise ValueError(
+                "linearmodel cannot be combined with a linear_bypass model "
+                "spec (the built-in 1e-3 bypass replaces the pre-model slot)"
+            )
         self.linearmodel = linearmodel
         # opt-in mixed precision: forward/backward in ``compute_dtype``
         # (e.g. "bfloat16"), f32 master weights + AdamW state + loss/metric
@@ -675,9 +684,11 @@ class Trainer:
         if one:
             x = x[None, :]
         x_in = self.transforms.x_transform(x)
-        pred = N.apply_model(self.spec, self.params, x_in)
-        if self.linearmodel is not None:
-            pred = pred + self.linearmodel(x_in)
+        # apply_model owns the linearmodel gating (linear_bypass specs ignore
+        # the external pre-model, exactly like the reference linna/nn.py:220-232)
+        pred = N.apply_model(
+            self.spec, self.params, x_in, linearmodel=self.linearmodel
+        )
         out = self.transforms.y_transform(pred)
         return out[0] if one else out
 

