@@ -288,12 +288,12 @@ def sampler_hlo_collectives(jax, walkers: int = 256, nsteps: int = 8) -> dict:
     chunks = {
         "emcee": (
             stretch.init_state, lambda st: stretch.stretch_chunk.lower(
-                lp_fn, st, nsteps, 2.0, lp_env=env
+                lp_fn, st, nsteps, 2.0, lp_env=env, mesh=mesh
             ),
         ),
         "zeus": (
             slicemove.init_slice_state, lambda st: slicemove.slice_chunk.lower(
-                lp_fn, st, nsteps, 100, lp_env=env
+                lp_fn, st, nsteps, 100, lp_env=env, mesh=mesh
             ),
         ),
         "hmc": (

@@ -35,6 +35,18 @@ Net at the flagship shape: 44 -> ~30 ms per 100-step chunk at 256 walkers.
 PRNG stream ordering differs from the per-step-split implementation (chains
 are not bitwise comparable across this change; within a version, seeded
 runs and exact resume remain bitwise deterministic).
+
+Walker sharding (round 5): under plain jit+GSPMD the stepping-out/shrink
+``while_loop`` conds (``jnp.any``/``jnp.all`` over the sharded walker axis)
+and counter sums re-reduced across the mesh EVERY loop iteration — 30
+collectives per step (r4 census).  ``slice_chunk(mesh=...)`` now runs the
+chunk under stretch.shard_over_walkers: each device's loops run on its own
+walker block with local conds, and the only per-step collectives are the 2
+half-ensemble all-gathers for the direction pairs (re-censused: 2/step,
+~8 KB).  The shrink loop's in-loop rejection draws become per-device
+streams (``fold_in(key, axis_index)``) — a documented PRNG-stream change
+vs the single-device order; step-fixed draws keep the exact global stream,
+and the single-device path is unchanged bit-for-bit.
 """
 
 from __future__ import annotations
@@ -184,19 +196,65 @@ def _slice_half(
     return new_x, new_lp, n_expand, n_contract
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3))
+def _slice_scan(log_prob_fn, max_steps, mu, nsteps, carry, xs, gather, axis):
+    """The chunk's step scan, shared by the single-device and walker-sharded
+    paths (see stretch.shard_over_walkers).  ``gather`` replicates the
+    complementary half before the direction-pair indexing — on a mesh that
+    is the chunk's ONLY per-step collective (2 small all-gathers/step); the
+    stepping-out/shrink while_loops and their any/all conds run on purely
+    device-local walker blocks.  ``axis`` non-None additionally (a)
+    decorrelates the shrink loop's in-loop draws per device via fold_in
+    (documented PRNG-stream change vs the single-device order — the
+    step-fixed draws are unchanged) and (b) psums the scalar expansion /
+    contraction counters once per chunk (they feed zeus's between-chunk mu
+    tuning, which needs the global counts)."""
+
+    def step(carry, xs):
+        c2, lp2, ne, nc = carry
+        l, m, expo, u0, skeys = xs
+        if axis is not None:
+            dev = jax.lax.axis_index(axis)
+            skeys = jax.vmap(lambda k: jax.random.fold_in(k, dev))(skeys)
+        nx0, nlp0, ne0, nc0 = _slice_half(
+            log_prob_fn, max_steps, c2[0], lp2[0], gather(c2[1]), mu,
+            l[0], m[0], expo[0], u0[0], skeys[0],
+        )
+        nx1, nlp1, ne1, nc1 = _slice_half(
+            log_prob_fn, max_steps, c2[1], lp2[1], gather(nx0), mu,
+            l[1], m[1], expo[1], u0[1], skeys[1],
+        )
+        c2 = jnp.stack([nx0, nx1])
+        lp2 = jnp.stack([nlp0, nlp1])
+        return (c2, lp2, ne + ne0 + ne1, nc + nc0 + nc1), (c2, lp2)
+
+    (c2, lp2, ne, nc), ys = jax.lax.scan(step, carry, xs, length=nsteps)
+    if axis is not None:
+        ne = jax.lax.psum(ne, axis)
+        nc = jax.lax.psum(nc, axis)
+    return (c2, lp2, ne, nc), ys
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3, 5))
 def slice_chunk(
     log_prob_fn: Callable[[jax.Array], jax.Array],
     state: SliceState,
     nsteps: int,
     max_steps: int = 100,
     lp_env=None,
+    mesh=None,
 ):
     """Advance ``nsteps`` ensemble-slice steps on device; returns
     (state, chain f32[nsteps, W, D], log_probs f32[nsteps, W]).
 
     ``lp_env``: optional traced env for a pure ``log_prob_fn(x, lp_env)``
-    (see stretch.stretch_chunk)."""
+    (see stretch.stretch_chunk).
+
+    ``mesh``: optional 1-axis walker mesh — runs the chunk under
+    stretch.shard_over_walkers, cutting the per-step collective census from
+    30 (GSPMD-partitioned while_loop conds + counter reductions + direction
+    gathers; SCALING.json r4) to 2 half-ensemble all-gathers.  The shrink
+    loop's in-loop rejection draws are per-device streams (fold_in of the
+    device index); all step-fixed draws keep the exact global stream."""
     log_prob_fn = bind_env(log_prob_fn, lp_env)
 
     coords, lp, key, mu, n_expand, n_contract = state
@@ -217,29 +275,40 @@ def slice_chunk(
     u0s = jax.random.uniform(k_u0, (nsteps, 2, half))
     shrink_keys = jax.random.split(k_sh, nsteps * 2).reshape(nsteps, 2)
 
-    def step(carry, xs):
-        c2, lp2, ne, nc = carry
-        l, m, expo, u0, skeys = xs
-        nx0, nlp0, ne0, nc0 = _slice_half(
-            log_prob_fn, max_steps, c2[0], lp2[0], c2[1], mu,
-            l[0], m[0], expo[0], u0[0], skeys[0],
+    scan_fn = partial(_slice_scan, log_prob_fn, max_steps, mu, nsteps)
+    # the scan carries this CHUNK's counter increments from zero (the psum
+    # in the sharded path must not multiply the prior cumulative value by
+    # the device count); the state's running totals are added back below
+    zero = jnp.zeros((), jnp.int32)
+    carry = (c2, lp2, zero, zero)
+    xs = (ls, ms, expos, u0s, shrink_keys)
+    if mesh is None:
+        (c2, lp2, ne_inc, nc_inc), (chain2, lps2) = scan_fn(
+            carry, xs, lambda x: x, None
         )
-        nx1, nlp1, ne1, nc1 = _slice_half(
-            log_prob_fn, max_steps, c2[1], lp2[1], nx0, mu,
-            l[1], m[1], expo[1], u0[1], skeys[1],
-        )
-        c2 = jnp.stack([nx0, nx1])
-        lp2 = jnp.stack([nlp0, nlp1])
-        return (c2, lp2, ne + ne0 + ne1, nc + nc0 + nc1), (c2, lp2)
+    else:
+        from jax.sharding import PartitionSpec as P
 
-    (c2, lp2, n_expand, n_contract), (chain2, lps2) = jax.lax.scan(
-        step,
-        (c2, lp2, n_expand, n_contract),
-        (ls, ms, expos, u0s, shrink_keys),
-        length=nsteps,
-    )
+        from .stretch import shard_over_walkers
+
+        ax = mesh.axis_names[0]
+        if half % mesh.devices.size:
+            raise ValueError(
+                f"half-ensemble size {half} must divide over the "
+                f"{mesh.devices.size}-device walker mesh"
+            )
+        carry_specs = (P(None, ax, None), P(None, ax), P(), P())
+        xs_specs = (
+            P(None, None, ax), P(None, None, ax), P(None, None, ax),
+            P(None, None, ax), P(None, None),
+        )
+        ys_specs = (P(None, None, ax, None), P(None, None, ax))
+        (c2, lp2, ne_inc, nc_inc), (chain2, lps2) = shard_over_walkers(
+            mesh, scan_fn, carry_specs, xs_specs, ys_specs
+        )(carry, xs)
     new_state = SliceState(
-        c2.reshape(w, ndim), lp2.reshape(w), key, mu, n_expand, n_contract
+        c2.reshape(w, ndim), lp2.reshape(w), key, mu,
+        n_expand + ne_inc, n_contract + nc_inc,
     )
     return new_state, chain2.reshape(nsteps, w, ndim), lps2.reshape(nsteps, w)
 

@@ -45,7 +45,13 @@ from typing import Callable, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["EnsembleState", "bind_env", "init_state", "stretch_chunk"]
+__all__ = [
+    "EnsembleState",
+    "bind_env",
+    "init_state",
+    "shard_over_walkers",
+    "stretch_chunk",
+]
 
 
 def bind_env(log_prob_fn: Callable, lp_env) -> Callable:
@@ -99,13 +105,72 @@ def _half_update(
     return new_x, new_lp, accept
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3))
+def shard_over_walkers(mesh, scan_fn, carry_specs, xs_specs, ys_specs):
+    """Wrap a per-chunk scan so each device advances only ITS walker block
+    (VERDICT r4 item 3).
+
+    Under plain jit+GSPMD the chunk's cross-walker reductions (while_loop
+    conds, acceptance counters) and the complementary-half partner gathers
+    each lower to per-iteration collectives — 10/step for stretch, 30/step
+    for the slice move's stepping-out/shrink loops (SCALING.json r4 census).
+    Under ``shard_map`` those reductions are DEVICE-LOCAL: the only
+    cross-device data motion left is one small all-gather of the
+    complementary half-ensemble per half-update (half x ndim floats over
+    ICI, two per step), handed to ``scan_fn`` as the ``gather`` callable.
+    Scalar counters psum once per chunk inside ``scan_fn``.
+
+    ``scan_fn(carry, xs, gather, axis)`` must return ``(carry, ys)`` like a
+    completed ``lax.scan``; specs are PartitionSpec pytrees matching those
+    structures.  Walker-sharded RNG that draws *inside* the device loop must
+    decorrelate per device via ``jax.random.fold_in(key,
+    jax.lax.axis_index(axis))`` — pre-drawn step-fixed randoms shard with
+    their walkers and keep the exact global stream."""
+    axis = mesh.axis_names[0]
+
+    def body(carry, xs):
+        gather = lambda x: jax.lax.all_gather(x, axis, tiled=True)
+        return scan_fn(carry, xs, gather, axis)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(carry_specs, xs_specs),
+        out_specs=(carry_specs, ys_specs),
+        check_vma=False,
+    )
+
+
+def _stretch_scan(log_prob_fn, a, ndim, nsteps, carry, xs, gather, axis):
+    """The chunk's step scan, shared by the single-device and walker-sharded
+    paths: ``gather`` replicates the complementary half before the partner
+    indexing (identity on one device; one all-gather per half-update on a
+    mesh — the only cross-device collective in the chunk)."""
+
+    def step(carry, xs):
+        c2, lp2, acc2 = carry
+        prt, u, ua = xs
+        nx0, nlp0, a0 = _half_update(
+            log_prob_fn, a, ndim, c2[0], lp2[0], gather(c2[1]), prt[0], u[0], ua[0]
+        )
+        nx1, nlp1, a1 = _half_update(
+            log_prob_fn, a, ndim, c2[1], lp2[1], gather(nx0), prt[1], u[1], ua[1]
+        )
+        c2 = jnp.stack([nx0, nx1])
+        lp2 = jnp.stack([nlp0, nlp1])
+        acc2 = acc2 + jnp.stack([a0, a1]).astype(jnp.int32)
+        return (c2, lp2, acc2), (c2, lp2)
+
+    return jax.lax.scan(step, carry, xs, length=nsteps)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3, 5))
 def stretch_chunk(
     log_prob_fn: Callable[[jax.Array], jax.Array],
     state: EnsembleState,
     nsteps: int,
     a: float = 2.0,
     lp_env=None,
+    mesh=None,
 ):
     """Advance ``nsteps`` stretch-move steps; returns (state, chain, log_probs)
     with chain f32[nsteps, W, D] and log_probs f32[nsteps, W].
@@ -113,7 +178,14 @@ def stretch_chunk(
     ``lp_env``: optional traced pytree for a pure two-argument likelihood
     ``log_prob_fn(x, lp_env)`` (likelihood.make_log_prob's ``_pure``/``_env``
     split) — keeps trained weights/transforms out of the compiled HLO so the
-    chunk program persists in the compilation cache across runs."""
+    chunk program persists in the compilation cache across runs.
+
+    ``mesh``: optional 1-axis walker mesh.  When given, the chunk runs under
+    :func:`shard_over_walkers`: each device advances its own walker block
+    and the per-step collective census drops from 10 (GSPMD partitioning of
+    the partner gather + acceptance bookkeeping) to 2 small half-ensemble
+    all-gathers.  Identical RNG stream — every random draw is step-fixed and
+    pre-drawn globally."""
     log_prob_fn = bind_env(log_prob_fn, lp_env)
 
     coords, lp, key, accepted = state
@@ -131,23 +203,28 @@ def stretch_chunk(
     us = jax.random.uniform(k_z, (nsteps, 2, half))
     ln_u_acc = jnp.log(jax.random.uniform(k_acc, (nsteps, 2, half)))
 
-    def step(carry, xs):
-        c2, lp2, acc2 = carry
-        prt, u, ua = xs
-        nx0, nlp0, a0 = _half_update(
-            log_prob_fn, a, ndim, c2[0], lp2[0], c2[1], prt[0], u[0], ua[0]
+    scan_fn = partial(_stretch_scan, log_prob_fn, a, ndim, nsteps)
+    carry = (c2, lp2, acc2)
+    xs = (partners, us, ln_u_acc)
+    if mesh is None:
+        (c2, lp2, acc2), (chain2, lps2) = scan_fn(
+            carry, xs, lambda x: x, None
         )
-        nx1, nlp1, a1 = _half_update(
-            log_prob_fn, a, ndim, c2[1], lp2[1], nx0, prt[1], u[1], ua[1]
-        )
-        c2 = jnp.stack([nx0, nx1])
-        lp2 = jnp.stack([nlp0, nlp1])
-        acc2 = acc2 + jnp.stack([a0, a1]).astype(jnp.int32)
-        return (c2, lp2, acc2), (c2, lp2)
+    else:
+        from jax.sharding import PartitionSpec as P
 
-    (c2, lp2, acc2), (chain2, lps2) = jax.lax.scan(
-        step, (c2, lp2, acc2), (partners, us, ln_u_acc), length=nsteps
-    )
+        ax = mesh.axis_names[0]
+        if half % mesh.devices.size:
+            raise ValueError(
+                f"half-ensemble size {half} must divide over the "
+                f"{mesh.devices.size}-device walker mesh"
+            )
+        carry_specs = (P(None, ax, None), P(None, ax), P(None, ax))
+        xs_specs = (P(None, None, ax),) * 3
+        ys_specs = (P(None, None, ax, None), P(None, None, ax))
+        (c2, lp2, acc2), (chain2, lps2) = shard_over_walkers(
+            mesh, scan_fn, carry_specs, xs_specs, ys_specs
+        )(carry, xs)
     new_state = EnsembleState(
         c2.reshape(w, ndim), lp2.reshape(w), key, acc2.reshape(w)
     )

@@ -177,3 +177,106 @@ def test_run_ensemble_warns_when_sharding_skipped(tmp_path):
         )
     msgs = [str(w.message) for w in caught if "walker sharding skipped" in str(w.message)]
     assert msgs and "256" in msgs[0]  # 250 -> next multiple of 16
+
+
+def _walker_mesh():
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(jax.devices()), ("walkers",))
+
+
+def test_shard_map_stretch_bitwise_matches_unsharded():
+    """stretch_chunk(mesh=...) (shard_over_walkers, VERDICT r4 item 3) is
+    bit-for-bit the single-device chunk: every random draw is step-fixed and
+    pre-drawn globally, and the per-walker arithmetic is identical."""
+    from linna_tpu.samplers import stretch
+
+    mesh = _walker_mesh()
+
+    def log_prob(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    x0 = jax.random.normal(jax.random.key(4), (64, 4), dtype=jnp.float32)
+    x0s = jax.device_put(x0, NamedSharding(mesh, P("walkers", None)))
+    s1 = stretch.init_state(jax.random.key(5), x0, log_prob)
+    s1, chain1, lp1 = stretch.stretch_chunk(log_prob, s1, 25, 2.0)
+    s2 = stretch.init_state(jax.random.key(5), x0s, log_prob)
+    s2, chain2, lp2 = stretch.stretch_chunk(log_prob, s2, 25, 2.0, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(chain1), np.asarray(chain2))
+    np.testing.assert_array_equal(np.asarray(s1.accepted), np.asarray(s2.accepted))
+
+
+def test_shard_map_slice_statistics_and_counters():
+    """slice_chunk(mesh=...): device-local while_loops sample the same
+    posterior (documented per-device shrink-draw streams — not bitwise), and
+    the psum'd expansion/contraction counters feed mu tuning with GLOBAL
+    counts that do not multiply the prior cumulative value."""
+    from linna_tpu.samplers import slicemove
+
+    mesh = _walker_mesh()
+
+    def log_prob(x):
+        return -0.5 * jnp.sum((x - 0.5) ** 2 / 0.25, axis=-1)
+
+    x0 = 0.5 + 0.5 * jax.random.normal(jax.random.key(0), (64, 3), dtype=jnp.float32)
+    x0s = jax.device_put(x0, NamedSharding(mesh, P("walkers", None)))
+    zs = slicemove.init_slice_state(jax.random.key(3), x0s, log_prob)
+    zs, chain_s, lps_s = slicemove.slice_chunk(log_prob, zs, 150, 100, mesh=mesh)
+    zu = slicemove.init_slice_state(jax.random.key(3), x0, log_prob)
+    zu, chain_u, _ = slicemove.slice_chunk(log_prob, zu, 150, 100)
+    assert np.all(np.isfinite(np.asarray(chain_s)))
+    m_s = np.asarray(chain_s[50:]).reshape(-1, 3).mean(0)
+    m_u = np.asarray(chain_u[50:]).reshape(-1, 3).mean(0)
+    np.testing.assert_allclose(m_s, 0.5, atol=0.15)
+    np.testing.assert_allclose(m_u, 0.5, atol=0.15)
+    # counter magnitudes agree between paths (same move, different streams)
+    assert 0.5 < int(zs.n_expand) / max(int(zu.n_expand), 1) < 2.0
+    assert 0.2 < (int(zs.n_contract) + 1) / (int(zu.n_contract) + 1) < 5.0
+    # second chunk: cumulative counters grow, not multiply by device count
+    zs2, _, _ = slicemove.slice_chunk(log_prob, zs, 10, 100, mesh=mesh)
+    assert int(zs2.n_expand) < int(zs.n_expand) * 2 + 10000
+
+
+def test_shard_map_chunk_collective_census():
+    """The re-censused contract (VERDICT r4 item 3, target <= ~8/step): the
+    walker-sharded stretch and slice chunks each dispatch exactly 2 per-step
+    collectives — the two half-ensemble all-gathers — and nothing inside the
+    while_loop bodies."""
+    import re
+
+    from linna_tpu.samplers import slicemove, stretch
+
+    mesh = _walker_mesh()
+
+    def log_prob(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    x0 = jax.random.normal(jax.random.key(1), (64, 3), dtype=jnp.float32)
+    x0s = jax.device_put(x0, NamedSharding(mesh, P("walkers", None)))
+
+    opcodes = ("all-gather", "all-reduce", "reduce-scatter",
+               "collective-permute", "all-to-all", "collective-broadcast")
+
+    def per_step_collectives(txt):
+        comp, n = "", 0
+        for line in txt.splitlines():
+            if not line.startswith(" ") and "{" in line:
+                comp = line.split("(")[0].strip().lstrip("%")
+            m = re.search(r"= \w+\[[\d,]*\]\S* ([a-z-]+)\(", line)
+            if m and m.group(1) in opcodes and any(
+                k in comp for k in ("while", "body", "cond", "region")
+            ):
+                n += 1
+        return n
+
+    st = stretch.init_state(jax.random.key(2), x0s, log_prob)
+    txt = stretch.stretch_chunk.lower(
+        log_prob, st, 8, 2.0, mesh=mesh
+    ).compile().as_text()
+    assert per_step_collectives(txt) == 2
+
+    zs = slicemove.init_slice_state(jax.random.key(2), x0s, log_prob)
+    txt = slicemove.slice_chunk.lower(
+        log_prob, zs, 8, 100, mesh=mesh
+    ).compile().as_text()
+    assert per_step_collectives(txt) == 2
