@@ -38,16 +38,22 @@ def _enable_compile_cache():
     enable()
 
 
-def bench_tpu(reps: int = 5, chunks_per_rep: int = 3) -> tuple:
+def bench_tpu(reps: int = 9, chunks_per_rep: int = 5) -> dict:
     """Walker log-prob evaluations/sec inside the jitted sampler chunk.
 
     Each repetition dispatches ``chunks_per_rep`` chunks back-to-back with
     one final synchronization — the r01/r02 pipelined-throughput methodology
     (a per-chunk sync would charge the host->device dispatch round-trip,
-    ~20 ms over a tunneled link, against on-device compute) — and the
-    median + IQR over ``reps`` repetitions makes measurement noise
-    distinguishable from a real regression (single-shot timing hid a 12%
-    r01->r02 swing)."""
+    ~20 ms over a tunneled link, against on-device compute).
+
+    Noise-robust statistics (VERDICT r4 item 1 — the shared box/tunnel can
+    steal 40% of a ~100 ms window; r04's recorded −44% was proven
+    environmental by an interleaved A/B of identical code): the PRIMARY
+    number is the BEST repetition rate — on a timeshared host, best-of-N
+    over a longer window approximates the uncontended device rate, which is
+    the property of the *code* (the median measures the *box*).  The median
+    and IQR ride along so the two regimes stay distinguishable, and
+    ``bench_probe`` gives an independent host-noise verdict."""
     import jax
 
     from __graft_entry__ import _build_problem
@@ -73,7 +79,43 @@ def bench_tpu(reps: int = 5, chunks_per_rep: int = 3) -> tuple:
         rates.append(WALKERS * CHUNK * chunks_per_rep / dt)
     rates = np.asarray(rates)
     q1, med, q3 = np.percentile(rates, [25, 50, 75])
-    return float(med), float(q3 - q1)
+    return {
+        "best": float(rates.max()),
+        "median": float(med),
+        "iqr": float(q3 - q1),
+    }
+
+
+def bench_probe(reps: int = 5, iters: int = 50, n: int = 1024) -> float:
+    """Fixed-FLOP probe kernel: the host-noise control (VERDICT r4 item 1).
+
+    A jitted chain of ``iters`` n x n f32 matmuls whose code and FLOP count
+    never change round to round — its best-of-``reps`` rate depends only on
+    the chip and the box/tunnel contention, never on framework changes.  A
+    probe at par with its pinned rate while the headline is down says "code
+    got slower"; a probe equally down says "box is busy".  Returns achieved
+    TFLOP/s."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def probe(c0):
+        def body(c, _):
+            return jnp.tanh(c @ c0), None
+
+        c, _ = jax.lax.scan(body, c0, None, length=iters)
+        return c
+
+    c0 = jax.random.normal(jax.random.key(0), (n, n), dtype="float32") * 0.01
+    jax.block_until_ready(probe(c0))  # compile
+    flops = 2.0 * n * n * n * iters
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(probe(c0))
+        dt = time.perf_counter() - t0
+        best = max(best, flops / dt / 1e12)
+    return best
 
 
 BASELINE_FILE = "reference_baseline.json"
@@ -177,9 +219,10 @@ def bench_reference_style(max_evals: int = 300, max_seconds: float = 30.0) -> fl
 HISTORY_FILE = "bench_history.json"
 
 
-def _update_history(value: float, spread: float) -> list:
-    """Append this run to the per-run history file (last 20 entries kept) so
-    cross-round moves are attributable to noise (within IQR) or real change."""
+def _update_history(entry: dict) -> list:
+    """Append this run to the per-run history file (last 20 entries kept).
+    Entries carry best/median/iqr/probe so later runs can classify a move as
+    host noise (probe down too) or code change (probe at par)."""
     import os
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), HISTORY_FILE)
@@ -190,7 +233,7 @@ def _update_history(value: float, spread: float) -> list:
                 history = json.load(f)
         except Exception:
             history = []
-    history.append({"value": round(value, 1), "spread": round(spread, 1)})
+    history.append(entry)
     history = history[-20:]
     try:
         with open(path, "w") as f:
@@ -200,36 +243,78 @@ def _update_history(value: float, spread: float) -> list:
     return history
 
 
+def _classify(stats: dict, probe: float, history: list) -> str:
+    """Self-classifying verdict (VERDICT r4 item 1): separate "box is busy"
+    from "code got slower" using (a) the run's own IQR/median dispersion and
+    (b) the fixed-FLOP probe vs its best pinned rate from history."""
+    probe_pin = max(
+        [h.get("probe", 0.0) for h in history[:-1] if isinstance(h, dict)]
+        + [probe]
+    )
+    probe_frac = probe / probe_pin if probe_pin > 0 else 1.0
+    disp = stats["iqr"] / stats["median"] if stats["median"] > 0 else 0.0
+    best_pin = max(
+        [h.get("best", h.get("value", 0.0)) for h in history[:-1]
+         if isinstance(h, dict)] or [stats["best"]]
+    )
+    best_move = stats["best"] / best_pin - 1 if best_pin > 0 else 0.0
+    noisy = probe_frac < 0.85 or disp > 0.15
+    parts = [
+        f"probe {probe:.2f} TFLOP/s ({probe_frac:.0%} of pinned)",
+        f"IQR/median {disp:.0%}",
+        f"best {best_move:+.1%} vs pinned best",
+    ]
+    if noisy and best_move > -0.10:
+        verdict = "HOST-NOISE regime; best-of-N is the faithful device rate"
+    elif noisy:
+        verdict = (
+            "host noisy AND best-of-N down >10% — re-run in a quiet window "
+            "before reading this as a regression"
+        )
+    elif best_move < -0.10:
+        verdict = "probe at par but best-of-N down >10%: likely CODE regression"
+    else:
+        verdict = "clean window, no regression"
+    return verdict + " (" + "; ".join(parts) + ")"
+
+
 def main():
     _enable_compile_cache()
-    value, spread = bench_tpu()
+    stats = bench_tpu()
+    probe = bench_probe()
+    value = stats["best"]
     try:
         baseline = pinned_baseline()
     except Exception:
         baseline = float("nan")
     vs = value / baseline if np.isfinite(baseline) and baseline > 0 else None
-    history = _update_history(value, spread)
-    note = None
-    if len(history) > 1:
-        prev = history[-2]
-        move = value / prev["value"] - 1
-        if abs(move) >= 0.05:
-            noise = (spread + prev.get("spread", 0)) / prev["value"]
-            note = (
-                f"{move:+.1%} vs previous run "
-                f"({'within' if abs(move) <= noise else 'exceeds'} combined IQR "
-                f"{noise:.1%})"
-            )
+    history = _update_history(
+        {
+            "best": round(stats["best"], 1),
+            "median": round(stats["median"], 1),
+            "iqr": round(stats["iqr"], 1),
+            "probe": round(probe, 3),
+        }
+    )
+    note = _classify(stats, probe, history)
     print(
         json.dumps(
             {
                 "metric": "emulator_loglike_evals_per_sec",
+                # primary = best-of-9 x 5-chunk windows: the uncontended
+                # device rate (code property); median/iqr = this window's
+                # box behavior (environment property)
                 "value": round(value, 1),
                 "unit": "evals/s",
                 "vs_baseline": round(vs, 1) if vs else None,
-                "spread": round(spread, 1),
-                "history": [h["value"] for h in history],
-                **({"note": note} if note else {}),
+                "median": round(stats["median"], 1),
+                "iqr": round(stats["iqr"], 1),
+                "probe_tflops": round(probe, 3),
+                "history": [
+                    h.get("best", h.get("value")) for h in history
+                    if isinstance(h, dict)
+                ],
+                "note": note,
             }
         )
     )
