@@ -49,8 +49,10 @@ from ..train import (
     BATCH_UNROLL,
     BEST_CKPT,
     LAST_CKPT,
+    DispatchSchedule,
     Supervisor,
     _make_optimizer,
+    _tree_copy,
     smooth_and_pick_lr,
 )
 from ..transforms import TransformSet
@@ -84,7 +86,11 @@ class EnsembleTrainer:
     # fetches params+best+opt (~45 MB at the DES shape) over the device
     # link and writes K npz files — far more than re-training the interval
     save_every = 200
+    # maximum epochs per dispatch; DispatchSchedule caps the effective chunk
+    # in the pathology-prone regime (see Trainer.epochs_per_dispatch)
     epochs_per_dispatch = 10
+    # speculative double-buffer dispatch (see Trainer.speculative_dispatch)
+    speculative_dispatch = True
 
     def __init__(
         self,
@@ -490,34 +496,56 @@ class EnsembleTrainer:
         i = 0
         last_plot = 0
         nb = 1
-        while i < num_epochs and not all(s.stopped for s in sups):
-            k = min(self.epochs_per_dispatch, num_epochs - i)
+        sched = DispatchSchedule(self.epochs_per_dispatch)
+
+        def _dispatch(k):
             ekeys = []
             for m in range(self.n_members):
                 self.member_keys[m], ek = jax.random.split(self.member_keys[m])
                 ekeys.append(ek)
-            t0 = time.perf_counter()
-            (
-                self.params, self.opt_state, losses_k, vms_k, eigs_k,
-                chunk_best_val, chunk_best_params,
-            ) = self._epochs_members(
-                self.params,
-                self.opt_state,
-                jnp.stack(ekeys),
-                train_x,
-                train_y,
-                val_x,
-                val_y,
-                k,
-                self.transforms,
-                self.loss_state,
+            return self._epochs_members(
+                self.params, self.opt_state, jnp.stack(ekeys),
+                train_x, train_y, val_x, val_y, k,
+                self.transforms, self.loss_state,
             )
+
+        pending = None  # speculatively dispatched next chunk: (k, outputs)
+        while i < num_epochs and not all(s.stopped for s in sups):
+            if pending is None:
+                k = sched.k_at(i, num_epochs)
+                t0 = time.perf_counter()
+                outs = _dispatch(k)
+                ps["dispatch"] += time.perf_counter() - t0
+            else:
+                k, outs = pending
+                pending = None
+            (
+                new_params, new_opt, losses_k, vms_k, eigs_k,
+                chunk_best_val, chunk_best_params,
+            ) = outs
+
+            # speculative double-buffer (see Trainer.train): chunk k+1 runs
+            # on device while every host fetches and processes chunk k.  All
+            # hosts take identical accept/discard branches — the decisions
+            # derive from the MH.fetch'd (identical) metrics — so the
+            # speculative collective program stays SPMD-aligned.
+            k2 = sched.k_at(i + k, num_epochs, quiet=sched.quiet + 1)
+            outs2 = None
+            if k2 > 0 and self.speculative_dispatch:
+                t0 = time.perf_counter()
+                prev_params, prev_opt = _tree_copy((new_params, new_opt))
+                self.params, self.opt_state = new_params, new_opt
+                outs2 = _dispatch(k2)
+                self.params, self.opt_state = prev_params, prev_opt
+                ps["dispatch"] += time.perf_counter() - t0
+            else:
+                self.params, self.opt_state = new_params, new_opt
+
             # fetch: identical host values on every process (collective when
             # member rows are sharded across hosts) — the Supervisor decisions
             # below must match on all hosts for SPMD dispatch to stay aligned.
             # One batched fetch for all four values: one round trip, not four.
             t1 = time.perf_counter()
-            ps["dispatch"] += t1 - t0
             losses_k, vms_k, eigs_k, cbv = MH.fetch(
                 (losses_k, vms_k, eigs_k, chunk_best_val)
             )
@@ -583,6 +611,17 @@ class EnsembleTrainer:
             if hyper_changed:
                 self._set_hypers()
             ps["supervisor"] += time.perf_counter() - t0
+            any_intervened = any(intervened)
+            sched.observe(any_intervened)
+            if outs2 is not None and not (
+                any_intervened
+                or hyper_changed
+                or all(s.stopped for s in sups)
+            ):
+                pending = (k2, outs2)
+            # else: speculative chunk dropped (ran from superseded member
+            # rows or hypers); self.params/opt hold the corrected
+            # restore-point state
 
             i += k
             t0 = time.perf_counter()

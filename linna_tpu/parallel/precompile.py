@@ -79,11 +79,23 @@ def enabled() -> bool:
 
 
 def _chunk_lengths(num_epochs: int, epochs_per_dispatch: int) -> List[int]:
-    """Distinct device-chunk lengths the dispatch loop can request."""
-    out = [min(epochs_per_dispatch, num_epochs)]
-    rem = num_epochs % epochs_per_dispatch
-    if rem and rem not in out:
-        out.append(rem)
+    """Distinct device-chunk lengths the dispatch loop can request on its
+    intervention-free path (train.DispatchSchedule — the guard-sized chunks
+    through the flat-start window, the steady-state maximum, and the tail),
+    plus the post-intervention ramp lengths (guard*2^n) so a recovery does
+    not pay a cold compile mid-run."""
+    from ..train import DispatchSchedule
+
+    sched = DispatchSchedule(epochs_per_dispatch)
+    out: List[int] = []
+    for k in sched.quiet_path_lengths(num_epochs):
+        if k not in out:
+            out.append(k)
+    ramp = sched.guard
+    while ramp < sched.max_epd:
+        if ramp not in out and ramp <= num_epochs:
+            out.append(ramp)
+        ramp *= 2
     return out
 
 
@@ -228,6 +240,15 @@ def iter_lowered_sampler(
     x0 = jax.ShapeDtypeStruct((nwalkers, ndim), f32)
     kdt = key.dtype
 
+    # mirror run.py's walker-mesh condition so the warmed chunk program is
+    # byte-identical to the one run_ensemble will dispatch: on a multi-device
+    # machine with a compatible walker count that is the shard_map variant
+    walker_mesh = None
+    if jax.device_count() > 1 and nwalkers % (2 * jax.device_count()) == 0:
+        from jax.sharding import Mesh
+
+        walker_mesh = Mesh(np.asarray(jax.devices()), ("walkers",))
+
     def init_lowered(init_fn, **kw):
         # identical construction to run.py's _init_jit
         return jax.jit(
@@ -250,7 +271,8 @@ def iter_lowered_sampler(
                 jax.ShapeDtypeStruct((), jnp.int32),
             )
             yield "zeus_chunk", slicemove.slice_chunk.lower(
-                lp_fn, state, check_every, slice_max_steps, lp_env=env
+                lp_fn, state, check_every, slice_max_steps, lp_env=env,
+                mesh=walker_mesh,
             )
         elif method == "emcee":
             yield "emcee_init", init_lowered(stretch.init_state)
@@ -261,7 +283,7 @@ def iter_lowered_sampler(
                 jax.ShapeDtypeStruct((nwalkers,), jnp.int32),
             )
             yield "emcee_chunk", stretch.stretch_chunk.lower(
-                lp_fn, state, check_every, a, lp_env=env
+                lp_fn, state, check_every, a, lp_env=env, mesh=walker_mesh
             )
         elif method in ("hmc", "nuts"):
             # the MAP search + Hessian jits (precondition.calc_hess_mass_mat)

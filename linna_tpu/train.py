@@ -289,6 +289,59 @@ class Supervisor:
         return out
 
 
+class DispatchSchedule:
+    """Dynamic epochs-per-dispatch (VERDICT r4 items 5+7), shared by the
+    serial Trainer and the mesh EnsembleTrainer so their chunking — and
+    therefore their per-member PRNG streams — stay identical.
+
+    The configured ``epochs_per_dispatch`` is the MAXIMUM chunk.  The
+    schedule caps the effective chunk at ``guard`` (10) epochs while inside
+    the flat-start detector window (first 120 epochs — where the
+    reinit/reload interventions live, Supervisor.step) and for the chunks
+    right after an intervention, then doubles per quiet chunk back up to the
+    maximum.  This bounds the pathology-recovery lag to <=``guard`` epochs
+    in the risky regime (the reference checks per epoch,
+    linna/predictor_gpu.py:319-401; a fixed 50-epoch chunk could lag a NaN
+    recovery by 49 epochs and discard the rest of the chunk's trajectory)
+    while keeping the steady state at one host round trip per
+    ``epochs_per_dispatch`` epochs."""
+
+    FLAT_WINDOW = 120  # Supervisor's flat-start detector range
+    GUARD = 10
+
+    def __init__(self, max_epd: int, guard: int = GUARD):
+        self.max_epd = max(int(max_epd), 1)
+        self.guard = min(guard, self.max_epd)
+        self.quiet = 0  # consecutive chunks without a params intervention
+
+    def k_at(self, i: int, num_epochs: int, quiet: int = None) -> int:
+        """Chunk length starting at epoch ``i`` (0 when done).  ``quiet``
+        overrides the observed counter — speculative dispatch peeks at the
+        next chunk assuming the current one lands quiet."""
+        if i >= num_epochs:
+            return 0
+        q = self.quiet if quiet is None else quiet
+        if i < self.FLAT_WINDOW:
+            k = self.guard
+        else:
+            k = min(self.max_epd, self.guard * (2 ** min(q, 10)))
+        return min(k, num_epochs - i)
+
+    def observe(self, intervened: bool) -> None:
+        self.quiet = 0 if intervened else self.quiet + 1
+
+    def quiet_path_lengths(self, num_epochs: int) -> list:
+        """The chunk lengths of an intervention-free run (used by
+        parallel.precompile to warm one program per distinct length)."""
+        out, i, q = [], 0, 0
+        while i < num_epochs:
+            k = self.k_at(i, num_epochs, quiet=q)
+            out.append(k)
+            i += k
+            q += 1
+        return out
+
+
 def _make_optimizer(mu_dtype=None) -> optax.GradientTransformation:
     """AdamW with runtime-dynamic lr/wd.
 
@@ -302,6 +355,14 @@ def _make_optimizer(mu_dtype=None) -> optax.GradientTransformation:
     return optax.inject_hyperparams(optax.adamw, static_args=("mu_dtype",))(
         learning_rate=1e-4, weight_decay=1e-4, mu_dtype=mu_dtype
     )
+
+
+@jax.jit
+def _tree_copy(tree):
+    """Device-side deep copy as ONE dispatched program (per-leaf eager
+    copies would pay ~100 dispatch round trips on a tunneled device).  The
+    restore point for speculative chunk dispatch, whose inputs are donated."""
+    return jax.tree.map(jnp.copy, tree)
 
 
 def _set_hyper(opt_state, lr: float, wd: float):
@@ -490,8 +551,14 @@ class Trainer:
     # the interval, so the cadence is deliberately coarse).
     save_every = 200
     # Epochs per device dispatch: whole-chunk scans cut the per-epoch host
-    # round trip (~0.15 s over a tunneled link vs ~7 ms of compute).
+    # round trip (~0.15 s over a tunneled link vs ~7 ms of compute).  This
+    # is the MAXIMUM chunk; DispatchSchedule caps the effective chunk during
+    # the pathology-prone flat-start window and right after interventions.
     epochs_per_dispatch = 10
+    # Speculative double-buffer: enqueue chunk k+1 from the future device
+    # state before fetching chunk k's metrics (discarded on the rare
+    # supervisor intervention).  Off => serial dispatch (debug/parity).
+    speculative_dispatch = True
 
     def _save(self, epoch: int, is_best: bool, force: bool = False):
         if is_best:
@@ -576,19 +643,56 @@ class Trainer:
         val_metrics: List[np.ndarray] = []
         i = 0
         last_plot = 0
-        while i < num_epochs and not sup.stopped:
-            k = min(self.epochs_per_dispatch, num_epochs - i)
+        sched = DispatchSchedule(self.epochs_per_dispatch)
+
+        def _dispatch(k):
             self.key, ekey = jax.random.split(self.key)
-            t0 = time.perf_counter()
-            (
-                self.params, self.opt_state, losses_k, vms_k, eigs_k,
-                chunk_best_val, chunk_best_params,
-            ) = self._epochs_tracked(
-                self.params, self.opt_state, ekey, train_x, train_y, val_x, val_y,
-                k, self.transforms, self.loss_state,
+            return self._epochs_tracked(
+                self.params, self.opt_state, ekey, train_x, train_y, val_x,
+                val_y, k, self.transforms, self.loss_state,
             )
+
+        pending = None  # speculatively dispatched next chunk: (k, outputs)
+        while i < num_epochs and not sup.stopped:
+            if pending is None:
+                k = sched.k_at(i, num_epochs)
+                t0 = time.perf_counter()
+                outs = _dispatch(k)
+                ps["dispatch"] += time.perf_counter() - t0
+            else:
+                k, outs = pending
+                pending = None
+            (
+                new_params, new_opt, losses_k, vms_k, eigs_k,
+                chunk_best_val, chunk_best_params,
+            ) = outs
+
+            # Speculative double-buffer (VERDICT r4 item 5 — the sampler's
+            # dispatch trick, samplers/run.py:609-618, applied to training):
+            # enqueue chunk k+1 from the future post-chunk device state
+            # BEFORE fetching chunk k's metrics, so the fetch latency and
+            # the host-side supervisor/save/plot work overlap device
+            # compute.  _epochs_tracked donates params/opt, so a device-side
+            # copy is snapped first; on the rare supervisor intervention the
+            # speculative chunk is discarded and the copy is the restore
+            # point (one burned PRNG chunk-key split — documented stream
+            # change vs the non-speculative path only after interventions).
+            k2 = sched.k_at(i + k, num_epochs, quiet=sched.quiet + 1)
+            outs2 = None
+            if k2 > 0 and self.speculative_dispatch:
+                t0 = time.perf_counter()
+                prev_params, prev_opt = _tree_copy((new_params, new_opt))
+                self.params, self.opt_state = new_params, new_opt
+                outs2 = _dispatch(k2)
+                # host-visible state = the restore-point copies; if the
+                # speculation is accepted, the next loop iteration replaces
+                # them with the speculative chunk's outputs anyway
+                self.params, self.opt_state = prev_params, prev_opt
+                ps["dispatch"] += time.perf_counter() - t0
+            else:
+                self.params, self.opt_state = new_params, new_opt
+
             t1 = time.perf_counter()
-            ps["dispatch"] += t1 - t0
             # one batched device->host transfer (device_get overlaps the
             # per-leaf copies) instead of three sequential blocking ones —
             # each blocking copy pays a full round trip on a tunneled device
@@ -611,6 +715,7 @@ class Trainer:
             # cadence matches the reference's per-epoch checks in practice)
             t0 = time.perf_counter()
             intervened = False
+            hyper_changed = False
             for j in range(k):
                 batch_losses = losses_k[j]
                 train_losses.extend(batch_losses.tolist())
@@ -634,8 +739,19 @@ class Trainer:
                 elif action == "hyper":
                     self.lr, self.wd = sup.lr, sup.wd
                     self.opt_state = _set_hyper(self.opt_state, self.lr, self.wd)
+                    hyper_changed = True
 
             ps["supervisor"] += time.perf_counter() - t0
+            sched.observe(intervened)
+            if outs2 is not None and not (
+                intervened or hyper_changed or sup.stopped
+            ):
+                # quiet chunk: the speculative dispatch stands
+                pending = (k2, outs2)
+            # else: the speculative chunk ran from superseded params or
+            # hypers — drop it (self.params/opt already hold the corrected
+            # restore-point state; one check_every-sized chunk of device
+            # work wasted, same trade as the sampler's double buffer)
 
             i += k
             t0 = time.perf_counter()

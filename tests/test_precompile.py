@@ -104,9 +104,19 @@ def test_warmed_hlo_matches_real_dispatch_bf16(tmp_path):
 
 
 def test_chunk_lengths():
-    assert precompile._chunk_lengths(1000, 50) == [50]
+    # DispatchSchedule quiet path: guard chunks through the flat-start
+    # window, the configured max, the tail, plus the post-intervention ramp
+    assert precompile._chunk_lengths(1000, 50) == [10, 50, 30, 20, 40]
+    assert sum(precompile._chunk_lengths(7, 5)[:2]) == 7  # [5, 2]
     assert precompile._chunk_lengths(7, 5) == [5, 2]
     assert precompile._chunk_lengths(3, 10) == [3]
+    # every quiet-path chunk is warmable: lengths tile num_epochs exactly
+    from linna_tpu.train import DispatchSchedule
+
+    for ne, epd in [(1000, 50), (4500, 50), (400, 10), (37, 50)]:
+        ks = DispatchSchedule(epd).quiet_path_lengths(ne)
+        assert sum(ks) == ne
+        assert set(ks) <= set(precompile._chunk_lengths(ne, epd))
 
 
 def test_warm_thread_runs_and_is_silent(tmp_path, monkeypatch):

@@ -234,3 +234,148 @@ def test_periodic_saves_write_only_dirty_best(tmp_path):
     tr._save(4, False, force=True)
     with np.load(tmp_path / "last.ckpt.npz") as z:
         assert any(k.startswith("opt/") for k in z.files)
+
+
+def test_dispatch_schedule_shape():
+    """DispatchSchedule (VERDICT r4 items 5+7): guard-sized chunks through
+    the flat-start window, doubling back to the configured max after quiet
+    chunks, reset on intervention."""
+    from linna_tpu.train import DispatchSchedule
+
+    s = DispatchSchedule(50)
+    # flat-start window: capped at guard regardless of quiet
+    assert s.k_at(0, 4500) == 10
+    assert s.k_at(119, 4500) == 10
+    # quiet ramp past the window
+    s.quiet = 0
+    assert s.k_at(200, 4500) == 10
+    s.quiet = 1
+    assert s.k_at(200, 4500) == 20
+    s.quiet = 2
+    assert s.k_at(200, 4500) == 40
+    s.quiet = 3
+    assert s.k_at(200, 4500) == 50
+    s.quiet = 50
+    assert s.k_at(200, 4500) == 50
+    # intervention resets the ramp
+    s.observe(True)
+    assert s.quiet == 0 and s.k_at(200, 4500) == 10
+    # remainder clipping
+    assert s.k_at(4495, 4500) == 5
+    # quiet path covers the run exactly with few distinct lengths
+    ks = s.quiet_path_lengths(4500)
+    assert sum(ks) == 4500
+    assert set(ks) <= {10, 50, (4500 - 120) % 50 or 50}
+    # max <= guard degenerates to the old fixed chunking
+    s2 = DispatchSchedule(5)
+    assert s2.quiet_path_lengths(23) == [5, 5, 5, 5, 3]
+
+
+def test_nan_recovery_within_guard_epochs(tmp_path):
+    """VERDICT r4 item 7: with epochs_per_dispatch=50, a NaN at epoch 37
+    (inside the flat-start guard window) is detected and recovered within
+    <=10 epochs — the schedule caps the dispatch chunk at the guard size in
+    the pathology-prone regime, so the reference's per-epoch recovery
+    cadence (linna/predictor_gpu.py:339-373) is matched to within one guard
+    chunk instead of one 50-epoch chunk."""
+    import jax
+
+    from linna_tpu.train import Trainer
+
+    ts, state, tx, ty, vx, vy = _problem(seed=3)
+    spec = N.make_model_spec("chto_simple", 2, 3)
+    tr = Trainer(spec, ts, state, outdir=str(tmp_path))
+
+    NAN_EPOCH = 37
+    chunks = []  # (start_epoch, k) of every dispatched chunk
+    epoch_counter = {"i": 0}
+    real = type(tr)._epochs_tracked
+
+    jrng = np.random.default_rng(42)
+
+    def fake(params, opt_state, key, *args):
+        k = args[4]
+        start = epoch_counter["i"]
+        chunks.append((start, k))
+        out = real(tr, params, opt_state, key, *args)
+        params, opt_state, losses_k, vms_k, eigs_k, bv, bp = out
+        vms_k = np.asarray(vms_k, np.float64)
+        # jitter the val metric so the (trigger-happy on this tiny smooth
+        # problem) flat-start detector stays quiet and the NaN is the only
+        # pathology in the run
+        vms_k[:, 0] *= 1.0 + 0.05 * jrng.standard_normal(vms_k.shape[0])
+        if start <= NAN_EPOCH < start + k:
+            vms_k[NAN_EPOCH - start, 0] = np.nan
+        vms_k = jnp.asarray(vms_k, jnp.float32)
+        epoch_counter["i"] = start + k
+        return params, opt_state, losses_k, vms_k, eigs_k, bv, bp
+
+    tr._epochs_tracked = fake
+    reloads = []
+    from linna_tpu import train as TR
+
+    class SpySup(TR.Supervisor):
+        def step(self, ep, vm, loss, min_eig, suppressed=False):
+            a = super().step(ep, vm, loss, min_eig, suppressed)
+            if a == "reload":
+                reloads.append(ep)
+            return a
+
+    import unittest.mock as mock
+
+    with mock.patch.object(TR, "Supervisor", SpySup):
+        tr.train(
+            tx, ty, vx, vy, num_epochs=160, batch_size=16, auto_lr=False,
+            epochs_per_dispatch=50, initfrombest=False,
+        )
+    # every dispatched chunk inside the flat-start window obeyed the guard
+    for start, k in chunks:
+        if start < 120:
+            assert k <= 10, (start, k)
+    # the reload fired on the NaN epoch itself, and the correction landed at
+    # that chunk's boundary — at most guard-1 executed epochs later (the
+    # speculatively dispatched next chunk is discarded, not kept)
+    assert reloads and reloads[0] == NAN_EPOCH, reloads
+    start, k = next((s0, k0) for s0, k0 in chunks if s0 <= NAN_EPOCH < s0 + k0)
+    assert (start + k - 1) - NAN_EPOCH <= 10, (start, k, NAN_EPOCH)
+
+
+def test_speculative_dispatch_matches_serial(tmp_path):
+    """The speculative double-buffer (VERDICT r4 item 5) is a pure latency
+    optimization: on an intervention-free run the accepted speculative
+    chunks replay the exact key stream and state of serial dispatch, so the
+    trained params are bitwise identical with the flag on or off."""
+    import jax
+
+    from linna_tpu.train import Trainer
+
+    from linna_tpu import train as TR
+
+    ts, state, tx, ty, vx, vy = _problem(seed=5)
+    spec = N.make_model_spec("chto_simple", 2, 3)
+
+    # neutralize the Supervisor: this tiny smooth problem trips the
+    # flat-start reinit, and post-intervention streams differ by design
+    # (the discarded speculative chunk burns a key split) — here we pin the
+    # intervention-free contract
+    class QuietSup(TR.Supervisor):
+        def step(self, ep, vm, loss, min_eig, suppressed=False):
+            return "none"
+
+    results = {}
+    for flag in (True, False):
+        tr = Trainer(spec, ts, state, outdir=str(tmp_path / f"s{flag}"))
+        tr.speculative_dispatch = flag
+        import unittest.mock as mock
+
+        with mock.patch.object(TR, "Supervisor", QuietSup):
+            tr.train(
+                tx, ty, vx, vy, num_epochs=45, batch_size=16, auto_lr=False,
+                initfrombest=False,
+            )
+        results[flag] = jax.tree.map(np.asarray, tr.params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(results[True]),
+        jax.tree_util.tree_leaves(results[False]),
+    ):
+        np.testing.assert_array_equal(a, b)
