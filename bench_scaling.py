@@ -168,152 +168,36 @@ def bench_sampler(jax, walkers: int = 1024, chunk: int = 50) -> list:
 
 
 def hlo_collectives(jax, k: int = 4) -> dict:
-    """Compile the K-member training chunk on the ('ens','data') mesh and
-    inspect its HLO: which collectives exist, and do any cross the member
-    ('ens') axis?  This is the load-bearing fact for real-chip scaling —
-    members with no cross-member collectives run truly independently, so K
-    members on K*d chips take ~the wall of one member on d chips."""
-    import re
-    import tempfile
+    """K-member training chunk census (delegates to the in-package
+    linna_tpu.parallel.census — also used by examples/pod_accept.py): the
+    contract is exactly one collective kind, the per-member gradient
+    all-reduce confined to each member's 'data' group, nothing crossing
+    'ens'."""
+    from linna_tpu.parallel.census import trainer_collective_census
 
-    import jax.numpy as jnp
-
-    from linna_tpu.parallel.ensemble import EnsembleTrainer
-
-    spec, tset, loss_state, tx, ty, vx, vy = _problem(jax)
-    with tempfile.TemporaryDirectory() as td:
-        tr = EnsembleTrainer(
-            spec, tset, loss_state,
-            [f"{td}/m{m}" for m in range(k)], list(range(k)),
-        )
-        tr._batch_size = BATCH
-        ekeys = jnp.stack([jax.random.key(m) for m in range(k)])
-        txt = (
-            type(tr)._epochs_members.lower(
-                tr, tr.params, tr.opt_state, ekeys,
-                jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(vx),
-                jnp.asarray(vy), 5, tr.transforms, tr.loss_state,
-            )
-            .compile()
-            .as_text()
-        )
-    groups = re.findall(r"replica_groups=(\[[\d,]+\]<=\[\d+\]|\{[^}]*\})", txt)
-    ens, data = tr.mesh.shape["ens"], tr.mesh.shape["data"]
-    # iota form [G,S]<=[N]: S consecutive devices per group; with the
-    # ('ens','data') mesh built from devices.reshape(ens, data), groups of
-    # size == data that tile consecutively are exactly per-member data groups
-    cross = [g for g in groups if g != f"[{ens},{data}]<=[{ens * data}]"]
-    return {
-        "k": k,
-        "mesh": {"ens": ens, "data": data},
-        "collective_instructions": len(groups),
-        "replica_groups": groups[:4],
-        "cross_member_collectives": len(cross),
-    }
+    return trainer_collective_census(
+        k=k, ndim=NDIM, ndata=NDATA, n_train=N_TRAIN, n_val=N_VAL,
+        batch=BATCH, epochs=5,
+    )
 
 
 def _hlo_census_by_computation(txt: str) -> dict:
-    """Count collective instructions in compiled-HLO text, split into those
-    inside loop-body computations (executed once PER STEP of the chunk's
-    scan/while) and those outside (once per chunk dispatch)."""
-    import re
+    from linna_tpu.parallel.census import hlo_census_by_computation
 
-    opcodes = (
-        "all-gather", "all-reduce", "reduce-scatter", "collective-permute",
-        "all-to-all", "collective-broadcast",
-    )
-    dbytes = {"f32": 4, "s32": 4, "u32": 4, "f64": 8, "bf16": 2, "pred": 1,
-              "s8": 1, "u8": 1, "f16": 2, "s64": 8, "u64": 8}
-    per_step: dict = {}
-    per_chunk: dict = {}
-    step_bytes = 0
-    comp = ""
-    for line in txt.splitlines():
-        if not line.startswith(" ") and "{" in line:
-            comp = line.split("(")[0].strip().lstrip("%")
-        m = re.search(r"= (\w+)\[([\d,]*)\]\S* ([a-z-]+)\(", line)
-        if m and m.group(3) in opcodes:
-            # scan/while bodies lower to non-ENTRY region computations; a
-            # collective there executes once per STEP of the chunk
-            body = any(k in comp for k in ("while", "body", "cond", "region"))
-            tgt = per_step if body else per_chunk
-            tgt[m.group(3)] = tgt.get(m.group(3), 0) + 1
-            if body:
-                shape = m.group(2)
-                n = int(np.prod([int(s) for s in shape.split(",") if s] or [1]))
-                step_bytes += n * dbytes.get(m.group(1), 4)
-    return {
-        "per_step": per_step,
-        "per_chunk": per_chunk,
-        "per_step_result_bytes": step_bytes,
-    }
+    return hlo_census_by_computation(txt)
 
 
 def sampler_hlo_collectives(jax, walkers: int = 256, nsteps: int = 8) -> dict:
-    """Compile every sampler's walker-sharded chunk on the full ('walkers',)
-    mesh and census its collectives (VERDICT r3 item 1): how many collective
-    instructions does one step of stretch/slice/HMC/NUTS dispatch, and what
-    are they?  This is the structural evidence for the multi-chip sampler —
-    the complementary-half partner gather (stretch.py:93 ``comp_x[prt]``,
-    slicemove.py:99 direction pairs) is the only cross-walker data motion,
-    and its cost per step is one small all-gather of the half-ensemble
-    (half x ndim floats over ICI), independent of the data-vector width:
-    the 457-point emulator output never crosses chips."""
-    import jax.numpy as jnp
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    """Walker-sharded chunk census for every sampler on the full mesh
+    (VERDICT r3 item 1; r5: re-censused after the shard_map rework —
+    stretch/slice at 2 per-step all-gathers, HMC/NUTS at zero).  Delegates
+    to linna_tpu.parallel.census, the same code examples/pod_accept.py
+    gates on."""
+    from linna_tpu.parallel.census import sampler_collective_census
 
-    from linna_tpu import likelihood as LK
-    from linna_tpu import nn as N
-    from linna_tpu import priors as PR
-    from linna_tpu import transforms as T
-    from linna_tpu.samplers import hmc, slicemove, stretch
-
-    spec, tset, loss_state, tx, ty, vx, vy = _problem(jax)
-    params = N.init_model(jax.random.key(0), spec)
-    pack = PR.priors_from_list(
-        [{"param": f"p{i}", "dist": "flat", "arg1": -2.0, "arg2": 2.0}
-         for i in range(NDIM)]
+    return sampler_collective_census(
+        ndim=NDIM, ndata=NDATA, walkers=walkers, nsteps=nsteps
     )
-    log_prob = LK.make_log_prob(
-        spec, params, tset, pack, np.zeros(NDATA), np.eye(NDATA)
-    )
-    lp_fn, env = log_prob._pure, log_prob._env
-    mesh = Mesh(np.asarray(jax.devices()), ("walkers",))
-    x0 = jax.device_put(
-        jax.random.normal(jax.random.key(1), (walkers, NDIM), dtype="float32"),
-        NamedSharding(mesh, P("walkers", None)),
-    )
-
-    out = {"n_devices": jax.device_count(), "walkers": walkers}
-    chunks = {
-        "emcee": (
-            stretch.init_state, lambda st: stretch.stretch_chunk.lower(
-                lp_fn, st, nsteps, 2.0, lp_env=env, mesh=mesh
-            ),
-        ),
-        "zeus": (
-            slicemove.init_slice_state, lambda st: slicemove.slice_chunk.lower(
-                lp_fn, st, nsteps, 100, lp_env=env, mesh=mesh
-            ),
-        ),
-        "hmc": (
-            hmc.init_hmc_state, lambda st: hmc.hmc_chunk.lower(
-                lp_fn, st, nsteps, 10, lp_env=env
-            ),
-        ),
-        "nuts": (
-            hmc.init_nuts_state, lambda st: hmc.nuts_chunk.lower(
-                lp_fn, st, nsteps, 3, lp_env=env
-            ),
-        ),
-    }
-    for name, (init, lower) in chunks.items():
-        state = jax.jit(
-            lambda k, x, e, _i=init: _i(k, x, lambda xx: lp_fn(xx, e))
-        )(jax.random.key(2), x0, env)
-        txt = lower(state).compile().as_text()
-        out[name] = _hlo_census_by_computation(txt)
-    return out
 
 
 def main():
@@ -347,12 +231,15 @@ def main():
     result["hlo"] = hlo_collectives(jax)
     result["sampler_hlo"] = sampler_hlo_collectives(jax)
     result["sampler_hlo_note"] = (
-        "Walker-sharded chunk census on the 8-device mesh: the stretch move "
-        "dispatches 10 collectives per step (the complementary-half partner "
-        "gather + acceptance bookkeeping) moving ~8 KB; the slice move 30 "
-        "(its stepping-out/shrink while-loops) moving ~10 KB; HMC and NUTS "
-        "dispatch ZERO collectives — gradient moves are walker-local, so "
-        "they scale embarrassingly across chips.  Every collective result is "
+        "Walker-sharded chunk census on the 8-device mesh, after the round-5 "
+        "shard_map rework (stretch.shard_over_walkers): the stretch AND "
+        "slice moves each dispatch exactly 2 collectives per step — the two "
+        "half-ensemble all-gathers for the partner/direction indexing, "
+        "~8 KB — with the stepping-out/shrink while-loops running on purely "
+        "device-local walker blocks (under plain GSPMD they paid 10 and 30 "
+        "per step respectively, the r4 census).  HMC and NUTS dispatch ZERO "
+        "collectives — gradient moves are walker-local, so they scale "
+        "embarrassingly across chips.  Every collective result is "
         "(walkers, ndim)-sized: nothing scales with the data-vector width — "
         "the 457-point emulator output never crosses chips, so on real ICI "
         "(~100 GB/s/link) the per-step collective cost is O(microseconds) "

@@ -280,3 +280,26 @@ def test_shard_map_chunk_collective_census():
         log_prob, zs, 8, 100, mesh=mesh
     ).compile().as_text()
     assert per_step_collectives(txt) == 2
+
+
+def test_pod_accept_structural(capsys):
+    """The pod acceptance kit's structural gates (examples/pod_accept.py,
+    VERDICT r4 item 6) pass on the 8-device virtual mesh — the same census
+    code and thresholds a pod owner runs on real chips."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples import pod_accept
+
+    rc = pod_accept.main(["--structural"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    report = json.loads(out)
+    assert rc == 0, report
+    assert report["pass"] is True
+    s = report["structural"]
+    assert s["n_devices"] == 8
+    for method in ("emcee", "zeus", "hmc", "nuts"):
+        assert s["sampler"][method]["pass"], s["sampler"]
+    assert s["trainer"]["cross_member_collectives"] == 0
