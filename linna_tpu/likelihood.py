@@ -70,12 +70,16 @@ def make_log_prob(
     ``compute_dtype`` (opt-in, e.g. ``"bfloat16"``): run the emulator's
     matmuls in a reduced element type (accumulation stays float32 via
     ``preferred_element_type``; the chi^2/prior arithmetic stays float32).
-    On TPU the MXU's native bf16 rate is several x its f32 rate, so this
-    trades ~0.4% per-element prediction rounding — typically below the
-    emulator's own training error — for throughput.  The rounding perturbs
-    chi^2 by O(0.01 * ndata), so for data vectors of O(500) points validate
-    posterior parity before using it for production inference (the test
-    suite pins parity statistically on a small problem).
+    Measured verdict (BF16_BENCH.json, v5e, DES 27->457 shape): ~1.00x at
+    production walker counts (4k-16k), ~1.1x only at small ensembles
+    (256-1k walkers, where chunk launches not the MXU dominate), 1.01-1.06x
+    for the K=2/K=4 ensemble likelihood, and noise-band results (0.84-1.03x)
+    at the LSST 40->1560 shape — the sampler chunk is not MXU-bound at
+    these widths, so the MXU's higher native bf16 rate does not convert to
+    wall-clock.  The flag stays available for wider emulators where the
+    matmuls do dominate; the rounding costs ~0.4% per-element prediction
+    error (O(0.01*ndata) chi^2 perturbation — validate posterior parity
+    before production use; the test suite pins parity statistically).
 
     ``out_cut``: when the checkpoint was trained with a WIDER output than the
     current data vector (a dimension-padded model retrieved via
