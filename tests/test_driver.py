@@ -299,10 +299,10 @@ def test_transform_matrix_end_to_end(tmp_path):
         "theory": "_t4:factory",
         "nwalkers": 8,
         "trainingoption": 1,
-        "num_epochs": 200,
+        "num_epochs": 300,
         "batch_size": 25,
-        "ntrainArr": [80, 80],
-        "nvalArr": [16, 16],
+        "ntrainArr": [150, 150],
+        "nvalArr": [30, 30],
         "nkeepArr": [1, 2],
         "ntimesArr": [2, 3],
         "ntautolArr": [0.5, 0.5],
