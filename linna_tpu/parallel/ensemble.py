@@ -156,6 +156,9 @@ class EnsembleTrainer:
             )
         self.optimizer = _make_optimizer(mu_dtype=compute_dtype)
         self.opt_state = jax.jit(jax.vmap(self.optimizer.init))(self.params)
+        (
+            self._jit_reset_opt, self._jit_load_row, self._jit_reinit_row,
+        ) = self._jit_interventions()
         self.lr = np.full(self.n_members, 1e-4)
         self.wd = np.full(self.n_members, 1e-4)
         self.best_val_loss = np.full(self.n_members, np.inf)
@@ -298,20 +301,62 @@ class EnsembleTrainer:
             self.wd, jnp.float32
         )
 
+    # Interventions as single jitted programs.  The eager per-leaf forms
+    # (tree.map of a[m] / a.at[m].set over ~40 leaves, plus an eager
+    # optimizer.init) cost ~80 device dispatches per intervention — measured
+    # ~1.5 s each over a tunneled link, and the DES iteration-0 T=4 regime
+    # spike-reloads ~67 times per 1000 epochs (≈100 s of pure intervention
+    # overhead in one training call).  One traced program per (member,
+    # operation) collapses that to one dispatch (~0.1 s).
+    def _jit_interventions(self):
+        opt_init = self.optimizer.init
+        spec = self.spec
+
+        def reset_opt_impl(params, opt_state, m):
+            fresh = opt_init(jax.tree.map(lambda a: a[m], params))
+            return jax.tree.map(
+                lambda a, r: a.at[m].set(r), opt_state, fresh
+            )
+
+        def load_row_impl(params, opt_state, best, m):
+            row = jax.tree.map(lambda a: a[m], best)
+            params = jax.tree.map(
+                lambda a, r: a.at[m].set(r), params, row
+            )
+            return params, reset_opt_impl(params, opt_state, m)
+
+        def reinit_row_impl(params, opt_state, key, m):
+            fresh = N.init_model(key, spec)
+            params = jax.tree.map(
+                lambda a, r: a.at[m].set(r), params, fresh
+            )
+            return params, reset_opt_impl(params, opt_state, m)
+
+        return (
+            jax.jit(reset_opt_impl, static_argnums=2),
+            jax.jit(load_row_impl, static_argnums=3),
+            jax.jit(reinit_row_impl, static_argnums=3),
+        )
+
     def _reset_member_optimizer(self, m: int) -> None:
-        fresh = self.optimizer.init(_row(self.params, m))
-        self.opt_state = _row_set(self.opt_state, m, fresh)
+        self.opt_state = self._jit_reset_opt(self.params, self.opt_state, m)
 
     def _reinit_member(self, m: int) -> None:
         self.member_keys[m], k = jax.random.split(self.member_keys[m])
-        self.params = _row_set(self.params, m, N.init_model(k, self.spec))
-        self._reset_member_optimizer(m)
+        self.params, self.opt_state = self._jit_reinit_row(
+            self.params, self.opt_state, k, m
+        )
 
     def _load_best_member(self, m: int) -> bool:
         """Member analogue of ``Trainer.load_best``: in-memory best first,
         then the member's ``best.ckpt.npz``."""
         if self._best_params_mem is not None and np.isfinite(self.best_val_loss[m]):
-            self.params = _row_set(self.params, m, _row(self._best_params_mem, m))
+            # one jitted program: row copy + member optimizer re-init (the
+            # caller's _reset_member_optimizer then finds fresh state; kept
+            # idempotent because opt re-init is deterministic)
+            self.params, self.opt_state = self._jit_load_row(
+                self.params, self.opt_state, self._best_params_mem, m
+            )
             return True
         path = os.path.join(self.outdirs[m], BEST_CKPT)
 
@@ -531,7 +576,10 @@ class EnsembleTrainer:
             # speculative collective program stays SPMD-aligned.
             k2 = sched.k_at(i + k, num_epochs, quiet=sched.quiet + 1)
             outs2 = None
-            if k2 > 0 and self.speculative_dispatch:
+            # speculate only after a quiet chunk (see Trainer.train): in
+            # chronically spiky phases nearly every speculative chunk would
+            # be discarded — wasted device work
+            if k2 > 0 and self.speculative_dispatch and sched.quiet >= 1:
                 t0 = time.perf_counter()
                 prev_params, prev_opt = _tree_copy((new_params, new_opt))
                 self.params, self.opt_state = new_params, new_opt

@@ -91,11 +91,10 @@ def _chunk_lengths(num_epochs: int, epochs_per_dispatch: int) -> List[int]:
     for k in sched.quiet_path_lengths(num_epochs):
         if k not in out:
             out.append(k)
-    ramp = sched.guard
-    while ramp < sched.max_epd:
-        if ramp not in out and ramp <= num_epochs:
-            out.append(ramp)
-        ramp *= 2
+    # the post-intervention guard chunk (k_at with quiet=0) — usually
+    # already present from the flat-window prefix
+    if sched.guard <= num_epochs and sched.guard not in out:
+        out.append(sched.guard)
     return out
 
 

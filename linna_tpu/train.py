@@ -317,14 +317,21 @@ class DispatchSchedule:
     def k_at(self, i: int, num_epochs: int, quiet: int = None) -> int:
         """Chunk length starting at epoch ``i`` (0 when done).  ``quiet``
         overrides the observed counter — speculative dispatch peeks at the
-        next chunk assuming the current one lands quiet."""
+        next chunk assuming the current one lands quiet.
+
+        One guard chunk follows every intervention (recovery granularity),
+        then the size jumps straight back to the maximum: a gradual-doubling
+        ramp measured WORSE in chronically spiky phases (the DES iteration-0
+        T=4 regime reloads best every ~15 epochs, so a slow ramp pins the
+        run at guard-sized chunks and multiplies the per-chunk tunnel
+        round trips)."""
         if i >= num_epochs:
             return 0
         q = self.quiet if quiet is None else quiet
-        if i < self.FLAT_WINDOW:
+        if i < self.FLAT_WINDOW or q == 0:
             k = self.guard
         else:
-            k = min(self.max_epd, self.guard * (2 ** min(q, 10)))
+            k = self.max_epd
         return min(k, num_epochs - i)
 
     def observe(self, intervened: bool) -> None:
@@ -355,6 +362,63 @@ def _make_optimizer(mu_dtype=None) -> optax.GradientTransformation:
     return optax.inject_hyperparams(optax.adamw, static_args=("mu_dtype",))(
         learning_rate=1e-4, weight_decay=1e-4, mu_dtype=mu_dtype
     )
+
+
+def device_spike_recover(
+    optimizer, params, opt_state, best_params, val0, loss,
+    prev_val, prev_loss, ep,
+):
+    """Per-epoch NaN/loss-spike recovery traced INTO the training chunk
+    (reference linna/predictor_gpu.py:339-373, which runs per epoch on the
+    host next to a local GPU).
+
+    Round-5 motivation: the DES iteration-0 T=4 regime spike-reloads ~70
+    times per 1000 epochs.  As host interventions each reload cost device
+    round trips, reset the dispatch schedule to guard-sized chunks and
+    discarded the speculative chunk — measured 283 s for that iteration's
+    training.  On device the recovery is a few fused selects per epoch:
+    chunks stay at the configured maximum and the host supervisor only
+    handles the rare structural pathologies (flat start, collapse, late
+    stall, early stopping).
+
+    Semantics per epoch (after the epoch's batches and validation):
+      trigger = NaN(val) | val>1e10 | val-prev>5*prev | loss-prev>5*prev
+      on trigger: params <- best-so-far, optimizer state re-initialized,
+                  lr halved when the spike is big (val-prev>10*prev or NaN,
+                  ep>10, floor MIN_LR) — exactly the reference's decisions;
+      the RECORDED val metric is clamped to the previous value on trigger
+      rows (reference clamps moderate spikes; NaN rows are clamped too here
+      so the host-side EarlyStopping never ingests NaN);
+      prev_val/prev_loss update only on quiet epochs (the reference's early
+      return skips its old/told update on trigger).
+
+    Returns (params, opt_state, vm0_recorded, prev_val, prev_loss, trigger).
+    """
+    bad = jnp.isnan(val0) | (val0 > 1e10)
+    spike_v = (ep != 0) & (val0 - prev_val > 5.0 * prev_val)
+    spike_t = (ep != 0) & (loss - prev_loss > 5.0 * prev_loss)
+    trigger = bad | spike_v | spike_t
+    big = (bad | (val0 - prev_val > 10.0 * prev_val)) & (ep > 10)
+    params = jax.tree.map(
+        lambda b, p: jnp.where(trigger, b, p), best_params, params
+    )
+    lr = opt_state.hyperparams["learning_rate"]
+    wd = opt_state.hyperparams["weight_decay"]
+    fresh = optimizer.init(params)
+    opt_state = jax.tree.map(
+        lambda f, o: jnp.where(trigger, f, o), fresh, opt_state
+    )
+    new_lr = jnp.where(
+        trigger & big & (lr > MIN_LR), lr * 0.5, lr
+    )
+    # re-inject the carried hyperparams (optimizer.init resets them to the
+    # constructor defaults) with the spike-halved lr
+    opt_state.hyperparams["learning_rate"] = new_lr
+    opt_state.hyperparams["weight_decay"] = wd
+    vm0_rec = jnp.where(trigger, prev_val, val0)
+    prev_val = jnp.where(trigger, prev_val, val0)
+    prev_loss = jnp.where(trigger, prev_loss, loss)
+    return params, opt_state, vm0_rec, prev_val, prev_loss, trigger
 
 
 @jax.jit
@@ -416,6 +480,11 @@ class Trainer:
         self.params = params
         self.optimizer = _make_optimizer(mu_dtype=compute_dtype)
         self.opt_state = self.optimizer.init(self.params)
+        # interventions as single jitted programs (the eager tree forms cost
+        # ~80 dispatches each over a tunneled link; spike-heavy training
+        # phases reload dozens of times — see EnsembleTrainer._jit_interventions)
+        self._jit_opt_init = jax.jit(self.optimizer.init)
+        self._jit_init_model = jax.jit(lambda k: N.init_model(k, spec))
         self.best_val_loss = float("inf")
         self.lr = 1e-4
         self.wd = 1e-4
@@ -515,11 +584,11 @@ class Trainer:
 
     def _reinit_weights(self):
         self.key, k = jax.random.split(self.key)
-        self.params = N.init_model(k, self.spec)
+        self.params = self._jit_init_model(k)
 
     def _reset_optimizer(self):
         self.opt_state = _set_hyper(
-            self.optimizer.init(self.params), self.lr, self.wd
+            self._jit_opt_init(self.params), self.lr, self.wd
         )
 
     def load_best(self) -> bool:
@@ -527,9 +596,10 @@ class Trainer:
         run) or ``best.ckpt.npz`` (linna/predictor_gpu.py:451-459)."""
         best_mem = getattr(self, "_best_params_mem", None)
         if best_mem is not None:
-            # hand out a copy: self.params gets donated into _epoch, which
-            # would otherwise invalidate the stored best
-            self.params = jax.tree.map(jnp.copy, best_mem)
+            # hand out a copy (one jitted program, not ~40 eager per-leaf
+            # copies): self.params gets donated into _epoch, which would
+            # otherwise invalidate the stored best
+            self.params = _tree_copy(best_mem)
             return True
         if self.outdir is None:
             return False
@@ -679,7 +749,11 @@ class Trainer:
             # change vs the non-speculative path only after interventions).
             k2 = sched.k_at(i + k, num_epochs, quiet=sched.quiet + 1)
             outs2 = None
-            if k2 > 0 and self.speculative_dispatch:
+            # speculate only after a quiet chunk: in chronically spiky
+            # phases (every chunk intervenes) speculation would discard
+            # nearly every speculative chunk — pure wasted device work —
+            # so it disables itself until the supervisor goes quiet
+            if k2 > 0 and self.speculative_dispatch and sched.quiet >= 1:
                 t0 = time.perf_counter()
                 prev_params, prev_opt = _tree_copy((new_params, new_opt))
                 self.params, self.opt_state = new_params, new_opt

@@ -105,8 +105,9 @@ def test_warmed_hlo_matches_real_dispatch_bf16(tmp_path):
 
 def test_chunk_lengths():
     # DispatchSchedule quiet path: guard chunks through the flat-start
-    # window, the configured max, the tail, plus the post-intervention ramp
-    assert precompile._chunk_lengths(1000, 50) == [10, 50, 30, 20, 40]
+    # window, the configured max, the tail (the post-intervention guard
+    # chunk equals the flat-window chunk size)
+    assert precompile._chunk_lengths(1000, 50) == [10, 50, 30]
     assert sum(precompile._chunk_lengths(7, 5)[:2]) == 7  # [5, 2]
     assert precompile._chunk_lengths(7, 5) == [5, 2]
     assert precompile._chunk_lengths(3, 10) == [3]

@@ -246,20 +246,19 @@ def test_dispatch_schedule_shape():
     # flat-start window: capped at guard regardless of quiet
     assert s.k_at(0, 4500) == 10
     assert s.k_at(119, 4500) == 10
-    # quiet ramp past the window
+    # one guard chunk after an intervention, then straight back to max (a
+    # gradual ramp measured worse in chronically spiky phases — see k_at)
     s.quiet = 0
     assert s.k_at(200, 4500) == 10
     s.quiet = 1
-    assert s.k_at(200, 4500) == 20
-    s.quiet = 2
-    assert s.k_at(200, 4500) == 40
-    s.quiet = 3
     assert s.k_at(200, 4500) == 50
     s.quiet = 50
     assert s.k_at(200, 4500) == 50
-    # intervention resets the ramp
+    # intervention resets to the guard chunk
     s.observe(True)
     assert s.quiet == 0 and s.k_at(200, 4500) == 10
+    s.observe(False)
+    assert s.k_at(200, 4500) == 50
     # remainder clipping
     assert s.k_at(4495, 4500) == 5
     # quiet path covers the run exactly with few distinct lengths
